@@ -249,9 +249,11 @@ def _dict_decode(r: ByteReader, n: int) -> np.ndarray:
     return uniq[idx.astype(np.int64)]
 
 
-def dict_size(a: np.ndarray, n_unique: int) -> int:
+def dict_size(a: np.ndarray, uniq: np.ndarray) -> int:
+    n_unique = len(uniq)
     w = bit_width(np.array([max(n_unique - 1, 0)], dtype=np.uint64))
-    return 10 + 8 * n_unique // 4 + (len(a) * w + 7) // 8  # rough dict + exact indexes
+    table = delta_size(uniq) if n_unique > 1 else 11
+    return 5 + table + 1 + (len(a) * w + 7) // 8
 
 
 RAW_INT = register(CodecSpec("raw_int", 0x01, SHAPE_INT, _raw_encode, _raw_decode))

@@ -1,0 +1,165 @@
+"""Distributed encode: DataFrame -> per-partition block files + manifest.
+
+Lifecycle (SURVEY §3.1 "engine equivalent"): stats/global-dict pass ->
+partition plan -> mapInArrow(encode blocks) writing per-partition parquet
+with atomic commit markers -> manifest + meta committed by the driver.
+
+Scale notes:
+- the only shuffle is the explicit partition plan (hash on url-host+salt);
+  encode itself is map-only and writes from executors — no driver data path.
+- global dictionaries are collected once (distinct on a low-cardinality
+  column — tiny) and shipped via closure broadcast, the cluster-scale analog
+  of the reference's layer-global key/value dicts (MvtLayerProps.java:33-60,
+  vector_tile.proto:69-72).
+- resume: a partition whose .done marker validates is not re-encoded or
+  re-written (its manifest rows are replayed from the marker), so a killed
+  job re-run skips committed partitions (FIXTURES.md F5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..columns import encode_column
+from ..plans import manifest as M
+
+GLOBAL_DICT_MAX = 4096  # max distinct values for a global-dict column
+
+
+def _minmax_i64(arr: pa.Array):
+    """Zone-map min/max for int-like columns (decode-side pruning, the
+    manifest analog of the reference's AABB pre-filter, JtsAdapter.java:232)."""
+    from ..columns import _is_intlike, _to_int64
+
+    if not _is_intlike(arr.type) or arr.null_count == len(arr) or len(arr) == 0:
+        return None, None
+    v = _to_int64(arr.drop_null())
+    return int(v.min()), int(v.max())
+
+
+def encode_batch(batch: pa.RecordBatch, pid: int, block_id: int,
+                 overrides: dict) -> tuple[dict, list[dict]]:
+    """Encode one Arrow batch into a block row + flat manifest rows."""
+    cols, mrows = [], []
+    for name in batch.schema.names:
+        arr = batch.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codec, params = overrides.get(name, ("auto", None))
+        blob, meta = encode_column(arr, codec, params)
+        mn, mx = _minmax_i64(arr)
+        row = {
+            "name": name, "dtype": str(arr.type), "codec": meta["codec"],
+            "null_count": meta["null_count"], "raw_bytes": meta["raw_bytes"],
+            "enc_bytes": meta["enc_bytes"],
+            "content_crc": meta["content_crc"] - (1 << 63) if meta["content_crc"] >= (1 << 63) else meta["content_crc"],
+            "min_i64": mn, "max_i64": mx,
+        }
+        cols.append({**row, "blob": blob})
+        mrows.append({"part_id": pid, "block_id": block_id,
+                      "n_rows": batch.num_rows, **row})
+    block = {"part_id": pid, "block_id": block_id, "n_rows": batch.num_rows,
+             "columns": cols}
+    return block, mrows
+
+
+def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
+    if not rows:
+        return pa.RecordBatch.from_pylist([], schema=M.MANIFEST_ARROW)
+    return pa.RecordBatch.from_pylist(rows, schema=M.MANIFEST_ARROW)
+
+
+def make_encode_fn(out_dir: str, overrides: dict, resume: bool,
+                   schema: pa.Schema | None = None):
+    """Build the mapInArrow function (runs on executors)."""
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if resume:
+            committed = M.read_done(out_dir, pid)
+            if committed is not None:
+                # skip encode + write; replay manifest from the marker
+                for b in batches:
+                    pass  # drain iterator (input scan already paid)
+                yield _manifest_batch(committed)
+                return
+        blocks, mrows = [], []
+        for block_id, batch in enumerate(batches):
+            if batch.num_rows == 0:
+                continue
+            if schema is not None and batch.schema != schema:
+                batch = pa.Table.from_batches([batch]).cast(schema).combine_chunks().to_batches()[0]
+            block, rows = encode_batch(batch, pid, block_id, overrides)
+            blocks.append(block)
+            mrows.extend(rows)
+        os.makedirs(M.blocks_dir(out_dir), exist_ok=True)
+        table = pa.Table.from_pylist(blocks, schema=M.BLOCK_SCHEMA)
+        tmp = M.part_file(out_dir, pid) + ".tmp"
+        pq.write_table(table, tmp, compression="none")
+        os.replace(tmp, M.part_file(out_dir, pid))
+        M.write_done(out_dir, pid, mrows)
+        yield _manifest_batch(mrows)
+
+    return fn
+
+
+def build_global_dicts(df, cols: list[str] | str = "auto") -> dict:
+    """Collect sorted distinct values for low-cardinality string columns.
+
+    Returns {col: (symtab_id, [bytes,...])}. 'auto' probes string columns
+    with approx_count_distinct (one tiny agg job)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    if cols == "auto":
+        if not str_cols:
+            return {}
+        acd = df.agg(*[F.approx_count_distinct(c).alias(c) for c in str_cols]).first()
+        cols = [c for c in str_cols if acd[c] <= GLOBAL_DICT_MAX * 0.8]
+    out = {}
+    for i, c in enumerate(cols):
+        vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull())
+                .distinct().orderBy(c).collect()]
+        if len(vals) > GLOBAL_DICT_MAX:
+            continue
+        out[c] = (i, [v.encode() if isinstance(v, str) else bytes(v) for v in vals])
+    return out
+
+
+def encode_table(df, out_dir: str, *, global_dict_cols="auto",
+                 codec_overrides: dict | None = None, resume: bool = True,
+                 config_note: dict | None = None):
+    """Encode a (pre-partitioned) DataFrame. Returns the manifest DataFrame.
+
+    Callers should partition first (plans.partitioning.plan_webtext /
+    plan_generic); this function does no shuffle of its own.
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    overrides = dict(codec_overrides or {})
+    gdicts = build_global_dicts(df, global_dict_cols) if global_dict_cols else {}
+    symtabs = {}
+    for col, (sid, symbols) in gdicts.items():
+        if col not in overrides:
+            overrides[col] = ("dict_global", {"symbols": symbols, "symtab_id": sid})
+            symtabs[sid] = symbols
+
+    schema = to_arrow_schema(df.schema)
+    mdf = df.mapInArrow(make_encode_fn(out_dir, overrides, resume, schema),
+                        M.manifest_spark_schema())
+    # one action runs the whole job and lands the manifest
+    mpath = os.path.join(out_dir, "manifest.parquet")
+    rows = mdf.collect()
+    mtable = pa.Table.from_pylist([r.asDict() for r in rows], schema=M.MANIFEST_ARROW)
+    pq.write_table(mtable, mpath)
+    M.write_meta(out_dir, schema, symtabs,
+                 {"note": config_note or {}, "n_parts": df.rdd.getNumPartitions()})
+    return mtable

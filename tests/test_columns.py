@@ -1,0 +1,123 @@
+"""Column envelope round-trip tests over every supported arrow type,
+including the FIXTURES.md adversarial variants (nulls vs empty strings,
+duplicates, unicode, single/zero-row, extreme timestamps)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mapbox_vector_tile_java_spark.columns import decode_column, encode_column
+
+from helpers import assert_bit_equal
+
+rng = np.random.default_rng(487125064)
+
+
+def roundtrip(arr: pa.Array, codec="auto", params=None, ctx=None):
+    blob, meta = encode_column(arr, codec, params)
+    out = decode_column(blob, arr.type, ctx)
+    assert_bit_equal(out, arr)
+    return meta
+
+
+CASES = {
+    "int64": pa.array([1, 2, 3, None, -5, 2**62, -(2**62)], type=pa.int64()),
+    "int32": pa.array([1, None, -(2**31), 2**31 - 1], type=pa.int32()),
+    "int16": pa.array([0, -32768, 32767, None], type=pa.int16()),
+    "int8": pa.array([0, -128, 127], type=pa.int8()),
+    "uint64": pa.array([0, 2**64 - 1, 5], type=pa.uint64()),
+    "bool": pa.array([True, False, None, True], type=pa.bool_()),
+    "float64": pa.array([1.5, -0.0, float("inf"), float("-inf"), None, 3.141592653589793], type=pa.float64()),
+    "float64_nan": pa.array(np.array([np.nan, 1.0, np.float64.fromhex("0x1.fffp+3")]), type=pa.float64()),
+    "float32": pa.array(np.array([1.5, -2.25, np.nan], dtype=np.float32), type=pa.float32()),
+    "ts_us": pa.array([0, 1, None, 1_700_000_000_000_000], type=pa.timestamp("us")),
+    "ts_us_tz": pa.array([12345, None], type=pa.timestamp("us", tz="UTC")),
+    "ts_ns": pa.array([99, -5], type=pa.timestamp("ns")),
+    "date32": pa.array([0, 19000, None], type=pa.date32()),
+    "string": pa.array(["hello", "", None, "héllo", "日本語", "🎉"], type=pa.string()),
+    "large_string": pa.array(["a" * 1000, None, ""], type=pa.large_string()),
+    "binary": pa.array([b"\x00\xff", b"", None, bytes(range(256))], type=pa.binary()),
+    "large_binary": pa.array([b"x" * 10], type=pa.large_binary()),
+    "list_f32": pa.array([[1.0, 2.0], None, [], [3.5]], type=pa.list_(pa.float32())),
+    "list_i64": pa.array([[1, 2, 3], [4], None], type=pa.list_(pa.int64())),
+    "all_null": pa.array([None, None, None], type=pa.string()),
+    "empty": pa.array([], type=pa.int64()),
+    "empty_str": pa.array([], type=pa.string()),
+    "single": pa.array([42], type=pa.int64()),
+    "no_nulls_str": pa.array(["a", "b", "a", "a"], type=pa.string()),
+    "null_vs_empty": pa.array([None, "", None, "", "x"], type=pa.string()),
+    "dups": pa.array(["same", "same", "same", "same"], type=pa.string()),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_envelope_roundtrip(name):
+    roundtrip(CASES[name])
+
+
+def test_large_random_columns():
+    n = 50_000
+    ints = rng.integers(-(2**62), 2**62, n)
+    mask = rng.random(n) < 0.1
+    arr = pa.array(ints, type=pa.int64(), mask=mask)
+    roundtrip(arr)
+
+    floats = rng.random(n)
+    roundtrip(pa.array(floats, type=pa.float64()))
+
+    words = np.array(["alpha", "beta", "gamma", "delta"])[rng.integers(0, 4, n)]
+    roundtrip(pa.array(words, type=pa.string(), mask=mask))
+
+
+def test_sorted_timestamps_pick_delta():
+    ts = np.sort(rng.integers(1_500_000_000_000_000, 1_700_000_000_000_000, 10_000))
+    meta = roundtrip(pa.array(ts, type=pa.timestamp("us")))
+    assert meta["codec"] == "for_delta"
+    assert meta["enc_bytes"] < meta["raw_bytes"] / 1.3
+
+
+def test_low_card_picks_dict():
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 20_000)]
+    meta = roundtrip(pa.array(langs, type=pa.string()))
+    assert meta["codec"] == "dict_bytes"
+    assert meta["enc_bytes"] < meta["raw_bytes"] / 4
+
+
+def test_repetitive_text_picks_fsst():
+    docs = [f"common crawl web page body {i:06d} text with shared vocabulary " * 3
+            for i in range(2000)]
+    meta = roundtrip(pa.array(docs, type=pa.string()))
+    assert meta["codec"] == "fsst"
+    assert meta["enc_bytes"] < meta["raw_bytes"] / 2
+
+
+def test_high_card_rejects_dict():
+    """FIXTURES.md rt_high_card: near-unique column must not pick dict."""
+    vals = [f"unique-{i:010d}-suffix" for i in range(10_000)]
+    meta = roundtrip(pa.array(vals, type=pa.string()))
+    assert meta["codec"] != "dict_bytes"
+
+
+def test_global_dict_roundtrip():
+    langs = pa.array(["en", "de", None, "en", "zh"], type=pa.string())
+    symbols = [b"de", b"en", b"zh"]
+    blob, meta = encode_column(langs, "dict_global", {"symbols": symbols, "symtab_id": 7})
+    out = decode_column(blob, pa.string(), {"symtabs": {7: symbols}})
+    assert out.equals(langs)
+    assert meta["codec"] == "dict_global"
+
+
+def test_content_crc_stable():
+    arr = pa.array([1, 2, None, 4], type=pa.int64())
+    _, m1 = encode_column(arr)
+    _, m2 = encode_column(arr)
+    assert m1["content_crc"] == m2["content_crc"]
+
+
+def test_trailing_garbage_rejected():
+    arr = pa.array([1, 2, 3], type=pa.int64())
+    blob, _ = encode_column(arr)
+    with pytest.raises(ValueError):
+        decode_column(blob + b"\x00", pa.int64())
