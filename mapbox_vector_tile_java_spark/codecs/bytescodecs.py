@@ -35,6 +35,7 @@ from .intcodecs import (
     raw_int_size,
     rle_size,
 )
+from .gather import gather_runs
 from .primitives import bit_width, bitpack, bitunpack
 
 
@@ -129,12 +130,8 @@ def _dictb_decode(r: ByteReader, n: int, ctx: dict | None = None):
     w = int(r.take(1)[0])
     idx = bitunpack(r.take((n * w + 7) // 8), n, w).astype(np.int64)
     lens = t_lens[idx]
-    # gather value bytes for each row
     ofs = np.concatenate(([0], np.cumsum(t_lens)))[:-1]
-    total = int(lens.sum())
-    out_ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    gather = np.repeat(ofs[idx] - out_ofs, lens) + np.arange(total)
-    return lens, t_data[gather]
+    return lens, gather_runs(t_data, ofs[idx], lens)
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +163,7 @@ def _dictg_decode(r: ByteReader, n: int, ctx: dict | None = None):
     t_data = np.frombuffer(b"".join(symbols), dtype=np.uint8)
     ofs = np.concatenate(([0], np.cumsum(t_lens)))[:-1]
     lens = t_lens[idx]
-    total = int(lens.sum())
-    out_ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    gather = np.repeat(ofs[idx] - out_ofs, lens) + np.arange(total)
-    return lens, t_data[gather]
+    return lens, gather_runs(t_data, ofs[idx], lens)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .gather import multi_range
 from .primitives import varint_decode, varint_encode, varint_encode_one
 
 ESCAPE = 255
@@ -113,15 +114,11 @@ class SymbolTable:
         """uint8 array -> compressed bytes (codes + escapes)."""
         if len(data) == 0:
             return b""
-        toks = data.astype(np.int32)
+        toks = data.astype(np.uint16)  # token ids stay < 2^16; halves bandwidth
         for a, b, t in self.merges:
             toks = _merge_pass(toks, a, b, t)
         lens, ofs, enc_data = self._enc_tables()
-        out_lens = lens[toks]
-        total = int(out_lens.sum())
-        out_ofs = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
-        idx = np.repeat(ofs[toks] - out_ofs, out_lens) + np.arange(total)
-        return enc_data[idx].tobytes()
+        return enc_data[multi_range(ofs[toks], lens[toks])].tobytes()
 
     def decompress(self, buf: bytes | np.ndarray) -> np.ndarray:
         """compressed bytes -> original uint8 array."""
@@ -147,15 +144,13 @@ class SymbolTable:
         is_code = kind == 0
         if is_code.any() and int(codes[is_code].max()) >= len(self.symbols):
             raise ValueError("corrupt fsst stream: code out of range")
-        out_lens = np.where(kind == 1, 0, np.where(kind == 2, 1, self._sym_lens[np.where(is_code, codes, 0)]))
+        safe = np.where(is_code, codes, 0)
+        out_lens = np.where(kind == 1, 0, np.where(kind == 2, 1, self._sym_lens[safe]))
         # gather source: symbols data ++ the buffer itself (for literals)
         src = np.where(kind == 2, len(self._sym_data) + np.arange(len(b)),
-                       self._sym_ofs[np.where(is_code, codes, 0)])
+                       self._sym_ofs[safe])
         pool = np.concatenate((self._sym_data, b))
-        total = int(out_lens.sum())
-        out_ofs = np.concatenate(([0], np.cumsum(out_lens)))[:-1]
-        idx = np.repeat(src - out_ofs, out_lens) + np.arange(total)
-        return pool[idx]
+        return pool[multi_range(src, out_lens)]
 
     # -- (de)serialization ------------------------------------------------------
     def table_bytes(self) -> bytes:
@@ -208,24 +203,24 @@ def from_full_bytes(buf: bytes) -> SymbolTable:
     return SymbolTable(symbols=symbols, merges=merges, tok_bytes=tok_bytes)
 
 
+def spread_sample(data: np.ndarray, cap: int, k: int = 16) -> np.ndarray:
+    """Deterministic diverse sample: k evenly spaced chunks totalling cap."""
+    chunk = cap // k
+    stride = len(data) // k
+    starts = np.arange(k) * stride
+    idx = (starts[:, None] + np.arange(chunk)[None, :]).ravel()
+    return data[idx]
+
+
 def train(
     data: np.ndarray,
     max_rounds: int = 320,
-    sample_cap: int = 1 << 20,
+    sample_cap: int = 1 << 18,
     min_count_frac: float = 2e-4,
 ) -> SymbolTable:
     """Train a symbol table on a uint8 sample. Deterministic: ties in pair
     frequency break toward the smallest (left, right) token pair."""
-    if len(data) > sample_cap:
-        # deterministic diverse sample: 16 evenly spaced chunks
-        k = 16
-        chunk = sample_cap // k
-        stride = len(data) // k
-        starts = np.arange(k) * stride
-        idx = (starts[:, None] + np.arange(chunk)[None, :]).ravel()
-        sample = data[idx]
-    else:
-        sample = data
+    sample = spread_sample(data, sample_cap) if len(data) > sample_cap else data
     toks = sample.astype(np.int32)
     tok_bytes: list[bytes] = [bytes([i]) for i in range(256)]
     tok_lens = np.ones(256 + max_rounds, dtype=np.int64)

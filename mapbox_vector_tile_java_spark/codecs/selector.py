@@ -39,7 +39,7 @@ def choose_int_codec(a: np.ndarray) -> str:
 
 # bytes-shape thresholds
 FSST_MIN_DATA = 256        # don't bother training below this many bytes
-FSST_SAMPLE = 64 * 1024    # trial-compress at most this much
+FSST_SAMPLE = 128 * 1024   # train + trial-compress on at most this much
 FSST_MIN_GAIN = 1.10       # require >=10% gain over the dict/raw alternative
 DICT_MAX_RATIO = 0.5       # dict eligible when nuniq/n <= this
 
@@ -69,14 +69,15 @@ def choose_bytes_codec(lens: np.ndarray, data: np.ndarray,
                 best = ("dict_bytes", dict_sz, {})
 
     if len(data) >= FSST_MIN_DATA:
-        sample = data[:FSST_SAMPLE]
+        sample = data if len(data) <= FSST_SAMPLE else fsstmod.spread_sample(data, FSST_SAMPLE)
         table = fsstmod.train(sample)
         comp = table.compress(sample)
         ratio = len(sample) / max(len(comp), 1)
         est = int(len(data) / ratio) + len(table.table_bytes()) + n
         if est * FSST_MIN_GAIN < best[1]:
-            # reuse the trained table when the sample covered everything
-            params = {"fsst_table": table} if len(sample) == len(data) else {}
-            best = ("fsst", est, params)
+            # always hand the sample-trained table to the encoder: training
+            # dominates encode cost and FSST tables generalize (losslessness
+            # never depends on the table fitting the data)
+            best = ("fsst", est, {"fsst_table": table})
 
     return best[0], best[2]

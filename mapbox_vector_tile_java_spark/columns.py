@@ -198,14 +198,23 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
         lens, data = _bytes_parts(nn)
         crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
         crc = zlib.crc32(data.tobytes(), crc)
+        chosen = None
         if codec == "auto":
             name, auto_params = choose_bytes_codec(lens, data, nn)
             params = {**auto_params, **params}
+            chosen = (name, params)
         else:
             name = codec
         spec = by_name(name)
         parts.append(bytes([spec.codec_id]))
         parts.append(spec.encode((lens, data), params))
+        if chosen is not None and name in ("fsst", "dict_bytes", "raw_bytes"):
+            # safe to reuse for sibling blocks (lossless regardless of data);
+            # saves re-training FSST tables per block
+            blob = b"".join(parts)
+            meta = _meta(name, raw_bytes, len(blob), crc, n, int(arr.null_count))
+            meta["reusable_plan"] = chosen
+            return blob, meta
     elif _is_listlike(t):
         flat = nn.flatten()  # values of non-null lists only
         large = pa.types.is_large_list(t)

@@ -33,6 +33,9 @@ def make_decode_fn(schema: pa.Schema, symtabs: dict[int, list[bytes]],
     ctx = {"symtabs": symtabs}
 
     def fn(batches):
+        from ..codecs.gather import warm_heap
+
+        warm_heap()
         for b in batches:
             col_lists = b.column("columns")
             for i in range(b.num_rows):

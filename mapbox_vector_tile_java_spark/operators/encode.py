@@ -42,15 +42,23 @@ def _minmax_i64(arr: pa.Array):
 
 
 def encode_batch(batch: pa.RecordBatch, pid: int, block_id: int,
-                 overrides: dict) -> tuple[dict, list[dict]]:
-    """Encode one Arrow batch into a block row + flat manifest rows."""
+                 overrides: dict, plan_cache: dict | None = None) -> tuple[dict, list[dict]]:
+    """Encode one Arrow batch into a block row + flat manifest rows.
+
+    plan_cache carries bytes-codec choices (incl. trained FSST tables) across
+    sibling blocks of a partition — training once per partition, the way the
+    reference builds one dict per layer, not per feature (MvtEncoder.java:91).
+    """
     cols, mrows = [], []
+    plan_cache = plan_cache if plan_cache is not None else {}
     for name in batch.schema.names:
         arr = batch.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        codec, params = overrides.get(name, ("auto", None))
+        codec, params = overrides.get(name) or plan_cache.get(name) or ("auto", None)
         blob, meta = encode_column(arr, codec, params)
+        if "reusable_plan" in meta:
+            plan_cache[name] = meta.pop("reusable_plan")
         mn, mx = _minmax_i64(arr)
         row = {
             "name": name, "dtype": str(arr.type), "codec": meta["codec"],
@@ -80,6 +88,9 @@ def make_encode_fn(out_dir: str, overrides: dict, resume: bool,
     def fn(batches):
         from pyspark import TaskContext
 
+        from ..codecs.gather import warm_heap
+
+        warm_heap()  # once per (reused) python worker
         pid = TaskContext.get().partitionId()
         if resume:
             committed = M.read_done(out_dir, pid)
@@ -90,12 +101,13 @@ def make_encode_fn(out_dir: str, overrides: dict, resume: bool,
                 yield _manifest_batch(committed)
                 return
         blocks, mrows = [], []
+        plan_cache: dict = {}
         for block_id, batch in enumerate(batches):
             if batch.num_rows == 0:
                 continue
             if schema is not None and batch.schema != schema:
                 batch = pa.Table.from_batches([batch]).cast(schema).combine_chunks().to_batches()[0]
-            block, rows = encode_batch(batch, pid, block_id, overrides)
+            block, rows = encode_batch(batch, pid, block_id, overrides, plan_cache)
             blocks.append(block)
             mrows.extend(rows)
         os.makedirs(M.blocks_dir(out_dir), exist_ok=True)

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..codecs.gather import gather_runs
+
 U64 = np.uint64
 _P1 = U64(0x9E3779B97F4A7C15)
 _P2 = U64(0xBF58476D1CE4E5B9)
@@ -96,10 +98,7 @@ def _gather_words(doc_ids: np.ndarray, word_counts: np.ndarray, stream: int,
     u = _uniform(flat_doc * U64(131071) + pos.astype(U64), stream, seed)
     wid = (u * u * len(_VLENS)).astype(np.int64)  # squared -> Zipf-ish head
     wl = _VLENS[wid]
-    out_total = int(wl.sum())
-    out_ofs = np.concatenate(([0], np.cumsum(wl)))[:-1]
-    idx = np.repeat(_VOFS[wid] - out_ofs, wl) + np.arange(out_total)
-    data = _VDATA[idx]
+    data = gather_runs(_VDATA, _VOFS[wid], wl)
     byte_lens = np.zeros(len(doc_ids), dtype=np.int64)
     np.add.at(byte_lens, np.repeat(np.arange(len(doc_ids)), word_counts), wl)
     return byte_lens, data
@@ -220,6 +219,9 @@ def webtext_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None
     ])
 
     def gen(batches):
+        from ..codecs.gather import warm_heap
+
+        warm_heap()
         for b in batches:
             ids = b.column(0).to_numpy(zero_copy_only=False)
             yield gen_batch(ids, seed)
