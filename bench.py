@@ -1,0 +1,121 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "headline_suite_wall", "value": <sec>, "unit": "sec",
+   "queries": {<name>: <sec>, ...}, "sf": <float>, ...extras}
+
+Headline = the codec engine on the synthetic Common-Crawl-style webtext
+table at a size proportional to SF (sf * 1M rows), plus the operator suite
+on the driver-provided parquet tables at $SPARK_GRAFT_SF_DIR.
+
+Extras recorded for BASELINE.md: encode/decode GB/s, compression ratio, and
+the parquet+zstd baseline size of the identical table (the
+"reference-discipline generic codec" bound from BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+from mapbox_vector_tile_java_spark.session import apply_malloc_env
+
+apply_malloc_env()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else 0.1
+    n_webtext = max(20_000, int(sf * 1_000_000))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from mapbox_vector_tile_java_spark.operators.decode import (
+        decode_table, read_manifest)
+    from mapbox_vector_tile_java_spark.operators.encode import encode_table
+    from mapbox_vector_tile_java_spark.plans.partitioning import plan_webtext
+    from mapbox_vector_tile_java_spark.session import get_spark
+    from mapbox_vector_tile_java_spark.sources.webtext import webtext_df
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    work = tempfile.mkdtemp(prefix="mvt_bench_")
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: webtext codec engine ------------------------------------
+    src = webtext_df(spark, n_webtext, seed=42, partitions=CPUS)
+    src.write.mode("overwrite").parquet(f"{work}/src_plain")  # materialize once
+    base = spark.read.parquet(f"{work}/src_plain")
+
+    enc_dir = f"{work}/encoded"
+    timed("webtext_encode", lambda: encode_table(
+        plan_webtext(base, n_parts=CPUS), enc_dir))
+    timed("webtext_decode", lambda: decode_table(spark, enc_dir)
+          .agg(F.count("*"), F.sum(F.length("text"))).collect())
+    timed("webtext_decode_pruned", lambda: decode_table(
+        spark, enc_dir, columns=["url", "lang"]).groupBy("lang").count().collect())
+
+    man = read_manifest(spark, enc_dir).groupBy().agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")).first()
+    extras["raw_bytes"] = int(man["raw"])
+    extras["enc_bytes"] = int(man["enc"])
+    extras["compression_ratio"] = round(man["raw"] / man["enc"], 4)
+    extras["encode_gbps_raw_in"] = round(
+        man["raw"] / 1e9 / timings["webtext_encode"], 4)
+    extras["decode_gbps_raw_out"] = round(
+        man["raw"] / 1e9 / timings["webtext_decode"], 4)
+
+    # parquet+zstd baseline of the identical table (generic-codec reference)
+    def _zstd_baseline():
+        base.write.mode("overwrite").option("compression", "zstd") \
+            .parquet(f"{work}/zstd_baseline")
+    timed("parquet_zstd_baseline_write", _zstd_baseline)
+    extras["parquet_zstd_bytes"] = _dir_bytes(f"{work}/zstd_baseline")
+    extras["engine_blocks_bytes"] = _dir_bytes(f"{enc_dir}/blocks")
+
+    # --- operator suite on the driver tables -------------------------------
+    qs = E.queries()
+    suite = [
+        "q1_pricing_summary", "stats_lang_hist", "window_user_deltas",
+        "join_orders_customers", "agg_source_stats", "text_token_stats",
+        "text_quality", "lang_id_stopwords", "doc_fingerprints",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine", "ann_bruteforce_topk", "ann_ivf_topk",
+        "roundtrip_lineitem", "roundtrip_events",
+    ]
+    for name in suite:
+        timed(name, lambda name=name: qs[name](spark, SF_DIR)
+              .write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    out = {"metric": "headline_suite_wall", "value": total, "unit": "sec",
+           "queries": timings, "sf": sf, "webtext_rows": n_webtext, **extras}
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+if __name__ == "__main__":
+    main()

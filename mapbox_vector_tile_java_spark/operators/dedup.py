@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all DataFrame-first:
+
+- exact:        hash-groupBy on content (shuffle on content hash)
+- ngram-jaccard: exact set similarity over character n-grams (Catalyst
+                 higher-order functions; O(n^2) verify — the *oracle-exact*
+                 baseline; at 10^12 docs you run it only on LSH candidates)
+- minhash+LSH:  vectorized signature kernel (mapInArrow) -> band buckets ->
+                 shuffle only within buckets -> candidate pairs
+- simhash:      64-bit fingerprints + band join for hamming<=k candidates
+- embedding:    cosine near-dup over embedding vectors (brute pairs at small
+                 scale; IVF buckets in similarity.py for the scale path)
+
+Reference lineage: consecutive-duplicate detection is the reference's
+repeated-point stats (JtsGeomStats.java:105-153) and dedup-on-encode
+(JtsAdapter.java:405,488) — lossy there, analysis-only here (we never drop
+rows during encode; dedup is an explicit operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per distinct content value (deterministic).
+    Shuffle: one hash-partition on content value; map-side partial min."""
+    return (df.groupBy(content_col)
+              .agg(F.min(id_col).alias(id_col))
+              .select(id_col, content_col))
+
+
+# ---------------------------------------------------------------------------
+# character n-gram jaccard (exact)
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact jaccard over char k-gram sets for all pairs above threshold.
+
+    O(n^2) — correct-by-construction baseline used as the verify stage on
+    LSH candidates at scale; run standalone only at small n.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded.
+    """
+    grams = F.expr(
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> substring({text_col}, i, {k}))))")
+    g = (df.select(F.col(id_col).alias("id"), grams.alias("g"))
+           .where(F.size("g") > 0))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter
+    jac = inter / union
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.round(jac, 6).alias("jaccard"))
+             .where(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(lens: np.ndarray, data: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-byte hashes of each doc's bytes, boundary-safe, vectorized.
+    Returns (per-doc shingle counts, flat shingle hash array uint64)."""
+    n_sh = np.maximum(lens - (k - 1), 0)
+    if len(data) == 0 or int(n_sh.sum()) == 0:
+        return n_sh, np.empty(0, dtype=np.uint64)
+    # hash all length-k windows of the concatenated buffer, then select the
+    # in-bounds windows per doc via multi_range over doc-local offsets
+    from ..codecs.gather import multi_range
+
+    h = np.zeros(len(data) - (k - 1), dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(k):
+        h = h * mult + data[j : len(data) - (k - 1) + j]
+    doc_ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    idx = multi_range(doc_ofs, n_sh)
+    return n_sh, h[idx]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 64, shingle_k: int = 5,
+                       seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>) — vectorized minhash over char shingles."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    a_par, b_par = _minhash_params(num_perm, seed)
+    out_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("sig", ArrayType(LongType(), False), False),
+    ])
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            txt = batch.column(1)
+            valid = (txt.is_valid().to_numpy(zero_copy_only=False)
+                     if txt.null_count else np.ones(len(txt), dtype=bool))
+            nn = txt.drop_null().cast(pa.large_binary())
+            o = np.frombuffer(nn.buffers()[1], dtype=np.int64)[nn.offset : nn.offset + len(nn) + 1]
+            data = (np.frombuffer(nn.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
+                    if len(nn) else np.empty(0, dtype=np.uint8))
+            lens = np.diff(o)
+            n_sh, sh = _shingle_hashes(lens, data, shingle_k)
+            sigs = np.full((len(lens), num_perm), MERSENNE, dtype=np.uint64)
+            if len(sh):
+                bounds = np.concatenate(([0], np.cumsum(n_sh)))
+                nz = n_sh > 0
+                starts = bounds[:-1][nz]
+                for j in range(num_perm):
+                    pj = (a_par[j] * sh + b_par[j]) % np.uint64(MERSENNE)
+                    sigs[nz, j] = np.minimum.reduceat(pj, starts)
+            out_ids = ids[valid]
+            offsets = pa.array(np.arange(len(lens) + 1, dtype=np.int32) * num_perm)
+            values = pa.array(sigs.view(np.int64).ravel(), type=pa.int64())
+            arr = pa.ListArray.from_arrays(offsets, values)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()), arr],
+                names=["id", "sig"])
+
+    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    return src.mapInArrow(fn, out_schema)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
+
+    Scale path: the only shuffle is groupBy(band, band_hash); bucket sizes
+    are bounded by near-duplicate cluster sizes, not corpus size. Returns
+    (id_a, id_b, n_bands) distinct pairs.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+        )).alias("band", "bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("n_bands")))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                         shingle_k: int = 4) -> DataFrame:
+    """(id, simhash long): per-bit majority vote over shingle hashes."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("simhash", LongType(), False),
+    ])
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            txt = batch.column(1)
+            valid = (txt.is_valid().to_numpy(zero_copy_only=False)
+                     if txt.null_count else np.ones(len(txt), dtype=bool))
+            nn = txt.drop_null().cast(pa.large_binary())
+            o = np.frombuffer(nn.buffers()[1], dtype=np.int64)[nn.offset : nn.offset + len(nn) + 1]
+            data = (np.frombuffer(nn.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
+                    if len(nn) else np.empty(0, dtype=np.uint8))
+            lens = np.diff(o)
+            n_sh, sh = _shingle_hashes(lens, data, shingle_k)
+            fps = np.zeros(len(lens), dtype=np.uint64)
+            if len(sh):
+                bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1,
+                                     bitorder="little").astype(np.int32) * 2 - 1
+                bounds = np.concatenate(([0], np.cumsum(n_sh)))
+                nz = n_sh > 0
+                votes = np.add.reduceat(bits, bounds[:-1][nz], axis=0)
+                packed = np.packbits((votes > 0).astype(np.uint8), axis=1,
+                                     bitorder="little")
+                fps[nz] = packed.view(np.uint64).ravel()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[valid], type=pa.int64()),
+                 pa.array(fps[: len(lens)].view(np.int64), type=pa.int64())],
+                names=["id", "simhash"])
+
+    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    return src.mapInArrow(fn, out_schema)
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 6, shingle_k: int = 4) -> DataFrame:
+    """Near-dup candidates: 4 bands of 16 bits; >=1 exact band match implies
+    hamming<=48 worst case, then exact hamming filter <= max_hamming."""
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_k)
+    banded = fp.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])).alias("band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .where(ham <= max_hamming)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                            threshold: float = 0.95) -> DataFrame:
+    """Exact cosine pairs >= threshold (brute force — oracle baseline).
+
+    All math in double with left-to-right folds so an ANSI-SQL oracle can
+    reproduce values bit-for-bit. Scale path: similarity.ivf_topk buckets.
+    """
+    d = df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    d = d.select("id", "v", norm.alias("nrm")).where(F.col("nrm") > 0)
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.round(cos, 6).alias("cosine"))
+             .where(F.col("cosine") >= threshold))

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the oracle baseline. All arithmetic
+  in double with left-to-right folds so an ANSI-SQL oracle reproduces values
+  exactly. The query side is broadcast (m query vectors), so the plan is a
+  broadcast-nested-loop + per-query top-k: one shuffle of size O(m*k), never
+  O(n^2).
+- ivf_topk: the scale path — k-means-lite centroids (deterministic seeded
+  init + a few Lloyd rounds on a sample), bucket assignment, probe the
+  nearest n_probe buckets only. Recall<1 by design; brute force verifies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double(vec_col):
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
+                     query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id.
+
+    Returns (query_id, neighbor_id, rank, cosine) — ties broken by
+    neighbor_id so results are fully deterministic.
+    """
+    base = df.select(F.col(id_col).cast("long").alias("nid"),
+                     _as_double(F.col(vec_col)).alias("v"))
+    base = base.select("nid", "v", _norm(F.col("v")).alias("nrm")).where(F.col("nrm") > 0)
+    q = (base.where(F.col("nid").isin([int(x) for x in query_ids]))
+             .select(F.col("nid").alias("query_id"), F.col("v").alias("qv"),
+                     F.col("nrm").alias("qnrm")))
+    j = base.join(F.broadcast(q), F.col("nid") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    scored = j.select("query_id", F.col("nid").alias("neighbor_id"),
+                      cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def train_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
+                    iters: int = 5, sample_rows: int = 4096,
+                    seed: int = 42) -> np.ndarray:
+    """k-means-lite on a driver-side sample (deterministic). At 10^12 rows
+    the sample is still O(sample_rows) — collected once, centroids broadcast."""
+    sample = np.array(
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+          .where(F.col("v").isNotNull())
+          .limit(sample_rows).toPandas()["v"].tolist())
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine-ish assignment on normalized-ish data
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
+             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k: probe only the n_probe nearest buckets.
+
+    Scale shape: bucket assignment is a map stage (centroids broadcast as a
+    literal array); the join is pruned to probed buckets, cutting the
+    scanned fraction to ~n_probe/n_centroids.
+    """
+    cents = train_centroids(df, vec_col, n_centroids, seed=seed)
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+    def bucket_of(v):
+        scores = F.transform(cent_lit, lambda c: _dot(c, v))
+        return F.array_position(scores, F.array_max(scores)) - 1
+
+    base = df.select(F.col(id_col).cast("long").alias("nid"),
+                     _as_double(F.col(vec_col)).alias("v"))
+    base = (base.select("nid", "v", _norm(F.col("v")).alias("nrm"))
+                .where(F.col("nrm") > 0)
+                .withColumn("bucket", bucket_of(F.col("v"))))
+    q = (base.where(F.col("nid").isin([int(x) for x in query_ids]))
+             .select(F.col("nid").alias("query_id"), F.col("v").alias("qv"),
+                     F.col("nrm").alias("qnrm")))
+    # probe set per query: n_probe best buckets by centroid score
+    idx_seq = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    scored_buckets = F.transform(
+        idx_seq, lambda i: F.struct(
+            (-_dot(F.element_at(cent_lit, i + 1), F.col("qv"))).alias("neg"),
+            i.alias("bucket")))
+    probe = q.withColumn(
+        "probes", F.transform(F.slice(F.array_sort(scored_buckets), 1, n_probe),
+                              lambda s: s["bucket"]))
+    j = base.join(F.broadcast(probe),
+                  F.array_contains(F.col("probes"), F.col("bucket"))
+                  & (F.col("nid") != F.col("query_id")))
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (j.select("query_id", F.col("nid").alias("neighbor_id"), cos.alias("cosine"))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k)
+             .select("query_id", "neighbor_id", "rank", "cosine"))

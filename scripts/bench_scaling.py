@@ -1,0 +1,83 @@
+"""Two-parallelism scaling evidence (BASELINE.json north rule: >=0.8
+throughput scaling efficiency from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver instruction we run
+the IDENTICAL encode job at local[8] and local[32] on the same input and
+report throughput at both plus efficiency = (T_8 / T_32) / 4 — i.e. how much
+of the ideal 4x wall-clock speedup the extra cores deliver.
+
+Each run is a fresh subprocess (one JVM per parallelism level). Results are
+appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, sys, tempfile, time
+from mapbox_vector_tile_java_spark.session import get_spark
+from mapbox_vector_tile_java_spark.sources.webtext import webtext_df
+from mapbox_vector_tile_java_spark.plans.partitioning import plan_webtext
+from mapbox_vector_tile_java_spark.operators.encode import encode_table
+from mapbox_vector_tile_java_spark.operators.decode import read_manifest
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1]); n_rows = int(sys.argv[2]); n_parts = int(sys.argv[3])
+spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=cores)
+work = tempfile.mkdtemp(prefix=f"mvt_scale_{cores}_")
+src = webtext_df(spark, n_rows, seed=42, partitions=n_parts)
+src.write.mode("overwrite").parquet(f"{work}/src")
+base = spark.read.parquet(f"{work}/src")
+t0 = time.time()
+encode_table(plan_webtext(base, n_parts=n_parts), f"{work}/enc")
+wall = time.time() - t0
+m = read_manifest(spark, f"{work}/enc").agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+print("RESULT " + json.dumps({"cores": cores, "wall": wall,
+      "raw_bytes": int(m["r"]), "enc_bytes": int(m["e"]),
+      "gbps": m["r"] / 1e9 / wall}))
+spark.stop()
+"""
+
+
+def run(cores: int, n_rows: int, n_parts: int) -> dict:
+    p = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET, str(cores), str(n_rows), str(n_parts)],
+        capture_output=True, text=True, cwd=REPO, timeout=3000)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"run failed (cores={cores}):\n{p.stdout[-2000:]}\n{p.stderr[-3000:]}")
+
+
+def main():
+    n_rows = int(os.environ.get("SCALE_ROWS", "200000"))
+    n_parts = 64  # same partitioning at both levels -> identical work units
+    lo = run(8, n_rows, n_parts)
+    hi = run(32, n_rows, n_parts)
+    eff = (lo["wall"] / hi["wall"]) / 4.0
+    report = {
+        "n_rows": n_rows, "n_parts": n_parts,
+        "local8": {"wall_s": round(lo["wall"], 2), "gbps": round(lo["gbps"], 4)},
+        "local32": {"wall_s": round(hi["wall"], 2), "gbps": round(hi["gbps"], 4)},
+        "speedup_8_to_32": round(lo["wall"] / hi["wall"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "raw_bytes": lo["raw_bytes"], "enc_bytes": lo["enc_bytes"],
+        "compression_ratio": round(lo["raw_bytes"] / lo["enc_bytes"], 3),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(f"\n## Scaling run {stamp}\n\n```json\n"
+                + json.dumps(report, indent=2) + "\n```\n")
+
+
+if __name__ == "__main__":
+    main()

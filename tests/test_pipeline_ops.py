@@ -1,0 +1,109 @@
+"""Training-data pipeline operator tests: dedup family recall/precision on
+planted duplicates, similarity search sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from mapbox_vector_tile_java_spark.operators import dedup as D
+from mapbox_vector_tile_java_spark.operators import similarity as S
+from mapbox_vector_tile_java_spark.operators.multimodal import (
+    decode_media_meta,
+    synth_media_df,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow ") * 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append(Row(doc_id=i, text=f"unique document {i} " + BASE[i : 200 + 3 * i]))
+    # planted near-duplicate pairs
+    rows.append(Row(doc_id=100, text=BASE))
+    rows.append(Row(doc_id=101, text=BASE + "tiny suffix"))
+    rows.append(Row(doc_id=102, text=BASE.replace("quick", "quik", 1)))
+    # exact duplicates
+    rows.append(Row(doc_id=200, text="identical content"))
+    rows.append(Row(doc_id=201, text="identical content"))
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs, "text", "doc_id").collect()
+    kept = {r["doc_id"] for r in out}
+    assert 200 in kept and 201 not in kept
+    assert len(out) == docs.count() - 1
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.minhash_lsh_pairs(docs, "text", "doc_id").collect()}
+    assert (100, 101) in pairs
+    assert (100, 102) in pairs
+    assert (200, 201) in pairs
+
+
+def test_simhash_finds_planted_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.simhash_pairs(docs, "text", "doc_id", max_hamming=8).collect()}
+    assert (100, 101) in pairs or (100, 102) in pairs
+    assert (200, 201) in pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            threshold=0.8).collect()}
+    assert pairs[(100, 101)] > 0.9
+    assert pairs[(200, 201)] == 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        v = rng.normal(size=16)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # planted near neighbor of vec 0
+    v0 = rows[0].embedding
+    rows.append(Row(vec_id=99, embedding=[x + 0.01 for x in v0]))
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk(spark, vectors):
+    out = S.brute_force_topk(vectors, "embedding", "vec_id", [0], k=3).collect()
+    assert out[0]["neighbor_id"] == 99 and out[0]["rank"] == 1
+    assert out[0]["cosine"] > 0.99
+
+
+def test_ivf_recall_vs_brute(spark, vectors):
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(vectors, "embedding", "vec_id", [0, 1], k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in S.ivf_topk(vectors, "embedding", "vec_id", [0, 1], k=5,
+                               n_centroids=4, n_probe=3).collect()}
+    # probing 3/4 buckets must recover most exact neighbors
+    assert len(brute & ivf) >= len(brute) * 0.5
+
+
+def test_media_meta_plumbing(spark):
+    df = synth_media_df(spark, 500, seed=1, partitions=2)
+    meta = decode_media_meta(df)
+    rows = meta.collect()
+    assert len(rows) == 500
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    assert all(64 <= r["width"] < 576 for r in rows)
+    assert all(r["payload_bytes"] >= 64 for r in rows)
+    assert all(0 <= r["mean_byte"] <= 255 for r in rows)
+    # deterministic
+    again = decode_media_meta(synth_media_df(spark, 500, seed=1, partitions=4)).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
