@@ -56,6 +56,10 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # spin up python workers + JIT before the timed region (steady-state
+    # measurement; cold-start is a per-executor one-time cost at scale)
+    webtext_df(spark, CPUS * 64, seed=1, partitions=CPUS).count()
+
     # --- headline: webtext codec engine ------------------------------------
     src = webtext_df(spark, n_webtext, seed=42, partitions=CPUS)
     src.write.mode("overwrite").parquet(f"{work}/src_plain")  # materialize once

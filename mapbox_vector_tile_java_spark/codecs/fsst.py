@@ -1,127 +1,186 @@
 """FSST-style symbol-table string compression, from scratch, vectorized.
 
 Design (public knowledge: Boncz/Neumann/Leis, "FSST: Fast Random Access
-String Compression", VLDB 2020 — we implement the *interface and wire
-discipline* of FSST, not its exact table-construction algorithm):
+String Compression", VLDB 2020 — we implement the interface and wire
+discipline of FSST with our own vectorized construction):
 
 - a table of up to 255 symbols, each 1..8 bytes; output codes are one byte;
   code 255 is an escape marker meaning "next byte is a literal".
-- table construction here uses iterative most-frequent-adjacent-pair merging
-  (byte-pair style) because every step of it is expressible as whole-array
-  numpy operations — no per-byte Python, per the north rule.
-- decode needs only the (code -> symbol bytes) table; encode additionally
-  replays the learned merge rules, each rule one vectorized pass.
+- encoding is greedy longest-match, fully vectorized: rolling hashes per
+  symbol length, 2^16 LUT candidate filter, exact byte verification, and the
+  sequential greedy walk resolved by pointer doubling inside fixed chunks.
+- table construction: most-frequent-adjacent-pair merging (vectorized) to
+  generate candidate symbols, then a refinement pass that parses the sample
+  with the REAL encoder over all candidates and keeps the 255 symbols with
+  the highest realized savings — aligning the table with the parse the
+  encoder will actually produce (the FSST paper's iterate-with-the-encoder
+  idea).
 
 The reference analog is the layer-global key/value dictionary
 (MvtLayerProps.java:33-60): a shared table built from the data, with rows
 storing only compact references into it. FSST generalizes that from whole
 values to substrings.
 
-Losslessness: every input byte either becomes part of a matched symbol or is
-escaped verbatim, so decode(encode(x)) == x for arbitrary bytes.
+Losslessness: every input byte either becomes part of an exactly-verified
+symbol match or is escaped verbatim, so decode(encode(x)) == x for arbitrary
+bytes regardless of what the table contains.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from .gather import multi_range
-from .primitives import varint_decode, varint_encode, varint_encode_one
+from .primitives import varint_decode, varint_encode_one
 
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
 MAX_SYMBOL_LEN = 8
+CHUNK = 4096  # greedy-walk chunk; matches never cross a chunk edge
 _PAIR_K = np.int64(1 << 20)
+_HM = np.uint64(0x100000001B3)
 
 
-def _merge_pass(toks: np.ndarray, a: int, b: int, t: int) -> np.ndarray:
-    """Replace adjacent (a, b) token pairs with token t, one vectorized pass.
+# ---------------------------------------------------------------------------
+# matching machinery (shared by compress and trainer refinement)
 
-    Overlaps (only possible when a == b) are resolved greedily left-to-right
-    by keeping even offsets within each run of consecutive match positions.
+def _hash_symbols(symbols: list[bytes]):
+    """Per-length (lut, sorted hashes, symbol index, byte matrix) tables."""
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(symbols):
+            if len(s) < 2:
+                continue
+            b = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+            h = b[0]
+            for j in range(1, len(b)):
+                h = h * _HM + b[j]
+            by_len.setdefault(len(s), []).append((int(h), i))
+    tables = {}
+    for L, entries in by_len.items():
+        entries.sort()
+        hs = np.array([h for h, _ in entries], dtype=np.uint64)
+        idx = np.array([i for _, i in entries], dtype=np.int64)
+        lut = np.zeros(1 << 16, dtype=bool)
+        lut[(hs & np.uint64(0xFFFF)).astype(np.int64)] = True
+        mat = np.zeros((len(entries), L), dtype=np.uint8)
+        for row, (_, i) in enumerate(entries):
+            mat[row] = np.frombuffer(symbols[i], dtype=np.uint8)
+        tables[L] = (lut, hs, idx, mat)
+    return tables
+
+
+def _greedy_parse(data: np.ndarray, tables: dict):
+    """Greedy longest-match parse. Returns (positions, symbol_index_or_-1).
+
+    Longest match per position via ascending-length overwrite; the walk
+    (next = pos + len) resolved with pointer doubling per CHUNK — a match
+    never crosses a chunk edge, so chunk starts are exact walk seeds.
     """
-    if len(toks) < 2:
-        return toks
-    m = np.flatnonzero((toks[:-1] == a) & (toks[1:] == b))
-    if len(m) == 0:
-        return toks
-    if a == b:
-        first = np.empty(len(m), dtype=bool)
-        first[0] = True
-        np.not_equal(np.diff(m), 1, out=first[1:])
-        run_start = m[np.maximum.accumulate(np.where(first, np.arange(len(m)), 0))]
-        m = m[(m - run_start) % 2 == 0]
-    toks[m] = t
-    keep = np.ones(len(toks), dtype=bool)
-    keep[m + 1] = False
-    return toks[keep]
+    n = len(data)
+    best_len = np.ones(n, dtype=np.int64)
+    best_sym = np.full(n, -1, dtype=np.int64)
+    h = data.astype(np.uint64)
+    in_chunk = np.arange(n, dtype=np.int64) % CHUNK
+    for L in range(2, MAX_SYMBOL_LEN + 1):
+        if n < L:
+            break
+        h = h[: n - L + 1] * _HM + data[L - 1 :]
+        entry = tables.get(L)
+        if entry is None:
+            continue
+        lut, hs, sidx, mat = entry
+        cand = np.flatnonzero(lut[(h & np.uint64(0xFFFF)).astype(np.int64)])
+        if len(cand) == 0:
+            continue
+        cand = cand[in_chunk[cand] + L <= CHUNK]
+        if len(cand) == 0:
+            continue
+        pos = np.searchsorted(hs, h[cand])
+        ok = hs[np.minimum(pos, len(hs) - 1)] == h[cand]
+        cand, pos = cand[ok], pos[ok]
+        if len(cand) == 0:
+            continue
+        exact = (data[cand[:, None] + np.arange(L)[None, :]] == mat[pos]).all(axis=1)
+        cand, pos = cand[exact], pos[exact]
+        best_len[cand] = L
+        best_sym[cand] = sidx[pos]
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + best_len, n)
+    J = np.append(nxt, n)
+    visited = np.zeros(n + 1, dtype=bool)
+    visited[np.arange(0, n, CHUNK)] = True
+    visited[n] = True
+    for _ in range(13):  # 2^13 > CHUNK covers worst-case all-single steps
+        idx = np.flatnonzero(visited[:-1])
+        before = int(visited.sum())
+        visited[J[idx]] = True
+        if int(visited.sum()) == before:
+            break
+        J = J[J]
+    vp = np.flatnonzero(visited[:-1])
+    return vp, best_sym[vp]
 
 
 @dataclass
 class SymbolTable:
-    """Trained FSST-style table: final symbols + the merge program."""
+    """Symbol table: code i <-> symbols[i]; encode + decode state."""
 
-    symbols: list[bytes]                      # code -> bytes (len <= 255)
-    merges: list[tuple[int, int, int]]        # (left_tok, right_tok, new_tok)
-    tok_bytes: list[bytes]                    # internal token id -> expansion
-    code_of: np.ndarray = field(default=None)  # internal token id -> code or -1
+    symbols: list[bytes]
 
     def __post_init__(self):
-        if self.code_of is None:
-            sym_code = {s: i for i, s in enumerate(self.symbols)}
-            self.code_of = np.full(len(self.tok_bytes), -1, dtype=np.int64)
-            for tok, bs in enumerate(self.tok_bytes):
-                self.code_of[tok] = sym_code.get(bs, -1)
+        self._tables = None
         self._enc_cache = None
-        # decode-side gather tables
         lens = np.fromiter((len(s) for s in self.symbols), dtype=np.int64,
                            count=len(self.symbols))
-        if len(lens) == 0:  # degenerate: everything escapes
+        if len(lens) == 0:
             lens = np.zeros(1, dtype=np.int64)
         self._sym_lens = lens
         self._sym_ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
         self._sym_data = np.frombuffer(b"".join(self.symbols), dtype=np.uint8)
 
-    # -- encode-side token -> output-bytes table -------------------------------
-    def _enc_tables(self):
+    # -- encode ---------------------------------------------------------------
+    def _byte_enc(self):
+        """Per raw byte value: output encoding (code, or escape+byte)."""
         if self._enc_cache is not None:
             return self._enc_cache
-        enc: list[bytes] = []
-        byte_code = self.code_of[:256]
-        for tok, bs in enumerate(self.tok_bytes):
-            c = int(self.code_of[tok])
-            if c >= 0:
-                enc.append(bytes([c]))
-            else:
-                out = bytearray()
-                for byte in bs:
-                    bc = int(byte_code[byte])
-                    if bc >= 0:
-                        out.append(bc)
-                    else:
-                        out.append(ESCAPE)
-                        out.append(byte)
-                enc.append(bytes(out))
-        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        code_of_byte = np.full(256, -1, dtype=np.int64)
+        for i, s in enumerate(self.symbols):
+            if len(s) == 1:
+                code_of_byte[s[0]] = i
+        enc = []
+        for bv in range(256):
+            c = code_of_byte[bv]
+            enc.append(bytes([c]) if c >= 0 else bytes([ESCAPE, bv]))
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=256)
         ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        data = np.frombuffer(b"".join(enc), dtype=np.uint8)
-        self._enc_cache = (lens, ofs, data)
+        dat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        self._enc_cache = (lens, ofs, dat)
         return self._enc_cache
 
     def compress(self, data: np.ndarray) -> bytes:
-        """uint8 array -> compressed bytes (codes + escapes)."""
         if len(data) == 0:
             return b""
-        toks = data.astype(np.uint16)  # token ids stay < 2^16; halves bandwidth
-        for a, b, t in self.merges:
-            toks = _merge_pass(toks, a, b, t)
-        lens, ofs, enc_data = self._enc_tables()
-        return enc_data[multi_range(ofs[toks], lens[toks])].tobytes()
+        if self._tables is None:
+            self._tables = _hash_symbols(self.symbols)
+        with np.errstate(over="ignore"):
+            vp, sym = _greedy_parse(np.ascontiguousarray(data, dtype=np.uint8),
+                                    self._tables)
+        matched = sym >= 0
+        lens_e, ofs_e, enc_data = self._byte_enc()
+        out_lens = np.where(matched, 1, lens_e[data[vp]])
+        out_ofs = np.concatenate(([0], np.cumsum(out_lens)))
+        out = np.empty(int(out_ofs[-1]), dtype=np.uint8)
+        out[out_ofs[:-1][matched]] = sym[matched].astype(np.uint8)
+        um = ~matched
+        if um.any():
+            out[multi_range(out_ofs[:-1][um], out_lens[um])] = \
+                enc_data[multi_range(ofs_e[data[vp[um]]], out_lens[um])]
+        return out.tobytes()
 
+    # -- decode ---------------------------------------------------------------
     def decompress(self, buf: bytes | np.ndarray) -> np.ndarray:
-        """compressed bytes -> original uint8 array."""
         b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
         if len(b) == 0:
             return b[:0]
@@ -146,31 +205,28 @@ class SymbolTable:
             raise ValueError("corrupt fsst stream: code out of range")
         safe = np.where(is_code, codes, 0)
         out_lens = np.where(kind == 1, 0, np.where(kind == 2, 1, self._sym_lens[safe]))
-        # gather source: symbols data ++ the buffer itself (for literals)
         src = np.where(kind == 2, len(self._sym_data) + np.arange(len(b)),
                        self._sym_ofs[safe])
         pool = np.concatenate((self._sym_data, b))
         return pool[multi_range(src, out_lens)]
 
-    # -- (de)serialization ------------------------------------------------------
+    # -- serialization ----------------------------------------------------------
     def table_bytes(self) -> bytes:
-        """Decode-side table: n, per-symbol lengths, concatenated bytes."""
         parts = [bytes([len(self.symbols)])]
         parts.append(bytes(len(s) for s in self.symbols))
         parts.append(b"".join(self.symbols))
         return b"".join(parts)
 
     def full_bytes(self) -> bytes:
-        """Encode+decode state (for shared/global table registry)."""
         tb = self.table_bytes()
-        parts = [varint_encode_one(len(tb)), tb,
-                 varint_encode_one(len(self.merges))]
-        flat = np.array([x for m in self.merges for x in m], dtype=np.uint64)
-        parts.append(varint_encode(flat))
-        return b"".join(parts)
+        return varint_encode_one(len(tb)) + tb
+
+    @property
+    def merges(self):  # legacy shim for introspection/tests
+        return []
 
 
-def table_from_bytes(buf: np.ndarray | bytes) -> tuple[list[bytes], int]:
+def table_from_bytes(buf) -> tuple[list[bytes], int]:
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     n = int(b[0])
     lens = b[1 : 1 + n].astype(np.int64)
@@ -182,25 +238,37 @@ def table_from_bytes(buf: np.ndarray | bytes) -> tuple[list[bytes], int]:
 
 def decoder_from_table_bytes(buf) -> SymbolTable:
     symbols, _ = table_from_bytes(buf)
-    tok_bytes = [bytes([i]) for i in range(256)] + [s for s in symbols if len(s) > 1]
-    return SymbolTable(symbols=symbols, merges=[], tok_bytes=tok_bytes)
+    return SymbolTable(symbols=symbols)
 
 
 def from_full_bytes(buf: bytes) -> SymbolTable:
     b = np.frombuffer(buf, dtype=np.uint8)
     tlen, consumed = varint_decode(b, 1)
-    pos = consumed
-    symbols, _ = table_from_bytes(b[pos : pos + int(tlen[0])])
-    pos += int(tlen[0])
-    nm, consumed = varint_decode(b[pos:], 1)
-    pos += consumed
-    flat, consumed = varint_decode(b[pos:], int(nm[0]) * 3)
-    merges = [tuple(int(x) for x in flat[i : i + 3]) for i in range(0, len(flat), 3)]
-    max_tok = max([t for _, _, t in merges], default=255)
-    tok_bytes = [bytes([i]) for i in range(256)] + [b""] * (max_tok - 255)
-    for a, bb, t in merges:
-        tok_bytes[t] = tok_bytes[a] + tok_bytes[bb]
-    return SymbolTable(symbols=symbols, merges=merges, tok_bytes=tok_bytes)
+    symbols, _ = table_from_bytes(b[consumed : consumed + int(tlen[0])])
+    return SymbolTable(symbols=symbols)
+
+
+# ---------------------------------------------------------------------------
+# training
+
+def _merge_pass(toks: np.ndarray, a: int, b: int, t: int) -> np.ndarray:
+    """Replace adjacent (a, b) token pairs with token t, one vectorized pass.
+    Overlaps (a == b) resolved greedily left-to-right via run parity."""
+    if len(toks) < 2:
+        return toks
+    m = np.flatnonzero((toks[:-1] == a) & (toks[1:] == b))
+    if len(m) == 0:
+        return toks
+    if a == b:
+        first = np.empty(len(m), dtype=bool)
+        first[0] = True
+        np.not_equal(np.diff(m), 1, out=first[1:])
+        run_start = m[np.maximum.accumulate(np.where(first, np.arange(len(m)), 0))]
+        m = m[(m - run_start) % 2 == 0]
+    toks[m] = t
+    keep = np.ones(len(toks), dtype=bool)
+    keep[m + 1] = False
+    return toks[keep]
 
 
 def spread_sample(data: np.ndarray, cap: int, k: int = 16) -> np.ndarray:
@@ -214,17 +282,18 @@ def spread_sample(data: np.ndarray, cap: int, k: int = 16) -> np.ndarray:
 
 def train(
     data: np.ndarray,
-    max_rounds: int = 320,
+    max_rounds: int = 360,
     sample_cap: int = 1 << 18,
     min_count_frac: float = 2e-4,
+    refine_rounds: int = 2,
 ) -> SymbolTable:
-    """Train a symbol table on a uint8 sample. Deterministic: ties in pair
-    frequency break toward the smallest (left, right) token pair."""
+    """Train a table: pair-merge candidate generation + encoder-aligned
+    refinement. Deterministic (ties break to the smallest pair key)."""
     sample = spread_sample(data, sample_cap) if len(data) > sample_cap else data
+    sample = np.ascontiguousarray(sample, dtype=np.uint8)
     toks = sample.astype(np.int32)
     tok_bytes: list[bytes] = [bytes([i]) for i in range(256)]
     tok_lens = np.ones(256 + max_rounds, dtype=np.int64)
-    merges: list[tuple[int, int, int]] = []
     min_count = max(4, int(len(sample) * min_count_frac))
     for _ in range(max_rounds):
         if len(toks) < 2:
@@ -237,34 +306,40 @@ def train(
         if not ok.any():
             break
         uk, counts = uk[ok], counts[ok]
-        best = int(np.argmax(counts))  # first max -> deterministic
+        best = int(np.argmax(counts))
         if counts[best] < min_count:
             break
         a, b = int(uk[best] // _PAIR_K), int(uk[best] % _PAIR_K)
         t = len(tok_bytes)
         tok_bytes.append(tok_bytes[a] + tok_bytes[b])
         tok_lens[t] = len(tok_bytes[t])
-        merges.append((a, b, t))
         toks = _merge_pass(toks, a, b, t)
-    # pick the final table: top tokens by byte savings
-    counts = np.bincount(toks, minlength=len(tok_bytes)).astype(np.int64)
-    lens = tok_lens[: len(tok_bytes)]
-    score = counts * np.maximum(1, lens - 1)
-    order = np.argsort(-score, kind="stable")
-    chosen = sorted(int(t) for t in order[:MAX_SYMBOLS] if score[t] > 0 or t < 256)
-    chosen = chosen[:MAX_SYMBOLS]
-    symbols = [tok_bytes[t] for t in chosen]
-    # prune the merge program to ancestors of chosen symbols: skipped merges
-    # only change which tokens survive (still losslessly escapable), and the
-    # encoder replays far fewer vectorized passes.
-    needed = set(t for t in chosen if t >= 256)
-    kept: list[tuple[int, int, int]] = []
-    for a, b, t in reversed(merges):
-        if t in needed:
-            kept.append((a, b, t))
-            if a >= 256:
-                needed.add(a)
-            if b >= 256:
-                needed.add(b)
-    kept.reverse()
-    return SymbolTable(symbols=symbols, merges=kept, tok_bytes=tok_bytes)
+
+    # candidate pool: every distinct multi-byte token + frequent single bytes
+    cand = sorted(set(s for s in tok_bytes[256:]))
+    byte_counts = np.bincount(sample, minlength=256).astype(np.int64)
+
+    # refinement: parse the sample with the real encoder over ALL candidates,
+    # keep the MAX_SYMBOLS symbols with the highest realized savings
+    chosen = cand
+    for _ in range(max(1, refine_rounds)):
+        tables = _hash_symbols(chosen)
+        with np.errstate(over="ignore"):
+            vp, sym = _greedy_parse(sample, tables)
+        lens_c = np.fromiter((len(s) for s in chosen), dtype=np.int64,
+                             count=len(chosen))
+        usage = np.bincount(sym[sym >= 0], minlength=len(chosen))
+        savings = usage * (lens_c - 1)  # L bytes -> 1 code
+        # unmatched single bytes: in-table costs 1, escaped costs 2
+        un = vp[sym < 0]
+        ub = np.bincount(sample[un], minlength=256).astype(np.int64)
+        # rank: multi-byte candidates by savings, single bytes by count
+        multi = [(int(savings[i]), chosen[i]) for i in range(len(chosen))
+                 if savings[i] > 0]
+        single = [(int(ub[v]), bytes([v])) for v in range(256) if ub[v] > 0]
+        ranked = sorted(multi + single, key=lambda x: (-x[0], x[1]))
+        chosen = sorted(s for _, s in ranked[:MAX_SYMBOLS])
+        if not chosen:
+            chosen = [bytes([v]) for v in np.argsort(-byte_counts)[:16]]
+            break
+    return SymbolTable(symbols=chosen)

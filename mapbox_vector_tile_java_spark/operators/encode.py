@@ -124,8 +124,10 @@ def make_encode_fn(out_dir: str, overrides: dict, resume: bool,
 def build_global_dicts(df, cols: list[str] | str = "auto") -> dict:
     """Collect sorted distinct values for low-cardinality string columns.
 
-    Returns {col: (symtab_id, [bytes,...])}. 'auto' probes string columns
-    with approx_count_distinct (one tiny agg job)."""
+    Returns {col: (symtab_id, [bytes,...])}. 'auto' probes string columns on
+    a sampled head: short average length + low distinct count -> candidate
+    (one cheap job), then one distinct-collect job per winner.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
@@ -133,8 +135,12 @@ def build_global_dicts(df, cols: list[str] | str = "auto") -> dict:
     if cols == "auto":
         if not str_cols:
             return {}
-        acd = df.agg(*[F.approx_count_distinct(c).alias(c) for c in str_cols]).first()
-        cols = [c for c in str_cols if acd[c] <= GLOBAL_DICT_MAX * 0.8]
+        probe = df.select(str_cols).limit(50_000).agg(
+            *[F.approx_count_distinct(c).alias(f"acd_{c}") for c in str_cols],
+            *[F.avg(F.length(c)).alias(f"len_{c}") for c in str_cols]).first()
+        cols = [c for c in str_cols
+                if probe[f"acd_{c}"] <= GLOBAL_DICT_MAX * 0.5
+                and (probe[f"len_{c}"] or 0) <= 64]
     out = {}
     for i, c in enumerate(cols):
         vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull())

@@ -26,21 +26,27 @@ def host_expr(url_col: str = "url"):
 
 def detect_hot_keys(df: DataFrame, key, n_parts: int,
                     frac_threshold: float | None = None,
+                    total_hint: int | None = None,
                     sample_rows: int = 100_000) -> dict[str, int]:
     """Sample key frequencies; return {key_value: n_salt_buckets} for keys
-    whose share would overload one partition. Deterministic (fixed seed)."""
-    total = df.count()
-    if total == 0:
-        return {}
+    whose share would overload one partition. Deterministic (fixed seed).
+
+    One Spark job: per-partition head sampling (limit pushed into the scan)
+    + groupBy on the sampled rows; pass total_hint to skip the count job.
+    """
     frac_threshold = frac_threshold or (1.0 / max(n_parts, 2))
-    fraction = min(1.0, sample_rows / total)
-    sample = df.sample(fraction=fraction, seed=SAMPLE_SEED) if fraction < 1.0 else df
+    if total_hint:
+        fraction = min(1.0, sample_rows / total_hint)
+        sample = (df.sample(fraction=fraction, seed=SAMPLE_SEED)
+                  if fraction < 1.0 else df)
+    else:
+        sample = df.limit(sample_rows)
     top = (sample.groupBy(key.alias("k")).count()
            .orderBy(F.desc("count"), F.asc("k")).limit(64).collect())
     n_sampled = max(sum(r["count"] for r in top), 1)  # lower bound on sample size
     out: dict[str, int] = {}
     for r in top:
-        frac = r["count"] / max(int(total * fraction), n_sampled)
+        frac = r["count"] / n_sampled
         if r["k"] is not None and frac > frac_threshold:
             out[r["k"]] = max(2, int(frac / frac_threshold) + 1)
     return out
