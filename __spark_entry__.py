@@ -22,7 +22,7 @@ from mapbox_vector_tile_java_spark.operators import dedup as D
 from mapbox_vector_tile_java_spark.operators import similarity as S
 from mapbox_vector_tile_java_spark.operators import textstats as T
 from mapbox_vector_tile_java_spark.operators.decode import decode_table, read_manifest
-from mapbox_vector_tile_java_spark.operators.encode import encode_table
+from mapbox_vector_tile_java_spark.operators.encode import encode_table, encode_webtext
 from mapbox_vector_tile_java_spark.operators.multimodal import (
     decode_media_meta,
     synth_media_df,
@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
     decoded DataFrame (driver checks rows>0 + stable schema)."""
     df = webtext_df(spark, 2_000, seed=42, partitions=4)
     out = tempfile.mkdtemp(prefix="mvt_entry_")
-    encode_table(plan_webtext(df, n_parts=4), os.path.join(out, "webtext"))
+    encode_webtext(df, os.path.join(out, "webtext"), n_parts=4)
     return decode_table(spark, os.path.join(out, "webtext"))
 
 
@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _webtext_roundtrip(s, d):
         df = webtext_df(s, 5_000, seed=42, partitions=4)
         out = tempfile.mkdtemp(prefix="mvt_wt_")
-        encode_table(plan_webtext(df, n_parts=4), os.path.join(out, "w"))
+        encode_webtext(df, os.path.join(out, "w"), n_parts=4)
         dec = decode_table(s, os.path.join(out, "w"))
         return dec.select("url", F.unix_micros("warc_ts").alias("warc_ts_us"),
                           F.length("html").alias("html_len"), "text", "lang")

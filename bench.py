@@ -40,8 +40,7 @@ def main():
     import __spark_entry__ as E
     from mapbox_vector_tile_java_spark.operators.decode import (
         decode_table, read_manifest)
-    from mapbox_vector_tile_java_spark.operators.encode import encode_table
-    from mapbox_vector_tile_java_spark.plans.partitioning import plan_webtext
+    from mapbox_vector_tile_java_spark.operators.encode import encode_webtext
     from mapbox_vector_tile_java_spark.session import get_spark
     from mapbox_vector_tile_java_spark.sources.webtext import webtext_df
 
@@ -66,8 +65,7 @@ def main():
     base = spark.read.parquet(f"{work}/src_plain")
 
     enc_dir = f"{work}/encoded"
-    timed("webtext_encode", lambda: encode_table(
-        plan_webtext(base, n_parts=CPUS), enc_dir))
+    timed("webtext_encode", lambda: encode_webtext(base, enc_dir, n_parts=CPUS))
     timed("webtext_decode", lambda: decode_table(spark, enc_dir)
           .agg(F.count("*"), F.sum(F.length("text"))).collect())
     timed("webtext_decode_pruned", lambda: decode_table(

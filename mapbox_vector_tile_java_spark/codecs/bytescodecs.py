@@ -23,19 +23,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import fsst as fsstmod
-from .base import ByteReader, CodecSpec, SHAPE_BYTES, put_uvarint, register
+from .base import ByteReader, CodecSpec, SHAPE_BYTES, put_section, put_uvarint, register
 from .intcodecs import (
     CONST_INT,
     FOR_BITPACK,
     FOR_DELTA,
     RAW_INT,
     RLE_INT,
+    VARINT_INT,
     delta_size,
     for_size,
     raw_int_size,
     rle_size,
+    varint_int_size,
 )
-from .gather import gather_runs
+from .pool import pbuf
+from .gather import gather_runs, multi_range
 from .primitives import bit_width, bitpack, bitunpack
 
 
@@ -57,6 +60,7 @@ def encode_int_sub(a: np.ndarray, params: dict | None = None) -> bytes:
         (rle_size(a), RLE_INT),
         (for_size(a), FOR_BITPACK),
         (delta_size(a), FOR_DELTA),
+        (varint_int_size(a), VARINT_INT),
         (raw_int_size(n), RAW_INT),
     ]
     cands.sort(key=lambda c: (c[0], c[1].codec_id))
@@ -135,7 +139,13 @@ def _dictb_decode(r: ByteReader, n: int, ctx: dict | None = None):
 
 
 # ---------------------------------------------------------------------------
-# global-broadcast dictionary
+# global-broadcast dictionary (escape-capable)
+#
+# The symbol list comes from a *sample* (at 10^12-doc scale an exact global
+# distinct is a full scan); values absent from it are escaped inline: the
+# reserved code len(symbols) marks "next exception", exceptions are stored
+# in-order in the blob. Reference analog: MvtLayerProps.addValue returning
+# -1 for values the dictionary cannot hold (MvtLayerProps.java:49-60).
 
 def _dictg_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
     lens, data = inp
@@ -143,27 +153,61 @@ def _dictg_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
     symtab_id: int = params["symtab_id"]
     arr = _bytes_array(lens, data)
     idx = pc.index_in(arr, value_set=pa.array(symbols, type=pa.large_binary()))
-    if idx.null_count:
-        raise ValueError("value missing from global dictionary")
-    iv = idx.to_numpy(zero_copy_only=False).astype(np.uint64)
+    esc = len(symbols)
+    missing = idx.null_count > 0
+    iv = (pc.fill_null(idx, esc).cast(pa.int64())
+          .to_numpy(zero_copy_only=False).astype(np.uint64))
     parts: list[bytes] = []
     put_uvarint(parts, symtab_id)
-    w = bit_width(np.array([max(len(symbols) - 1, 0)], dtype=np.uint64))
+    w = bit_width(np.array([esc], dtype=np.uint64).view(np.uint64))
     parts.append(bytes([w]))
     parts.append(bitpack(iv, w))
+    if missing:
+        is_exc = iv == np.uint64(esc)
+        exc_lens = lens[is_exc]
+        exc_data = _take_rows(lens, data, is_exc)
+        put_uvarint(parts, len(exc_lens))
+        parts.append(encode_int_sub(exc_lens))
+        parts.append(exc_data.tobytes())
+    else:
+        put_uvarint(parts, 0)
     return b"".join(parts)
+
+
+def _take_rows(lens: np.ndarray, data: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    ofs = np.cumsum(lens) - lens
+    return np.asarray(data)[multi_range(ofs[mask], lens[mask])]
 
 
 def _dictg_decode(r: ByteReader, n: int, ctx: dict | None = None):
     symtab_id = r.uvarint()
     symbols: list[bytes] = ctx["symtabs"][symtab_id]
+    esc = len(symbols)
     w = int(r.take(1)[0])
     idx = bitunpack(r.take((n * w + 7) // 8), n, w).astype(np.int64)
+    n_exc = r.uvarint()
+    if int((idx == esc).sum()) != n_exc or (idx > esc).any():
+        raise ValueError("dict_global: exception count/code mismatch")
     t_lens = np.fromiter((len(s) for s in symbols), dtype=np.int64, count=len(symbols))
+    t_lens = np.append(t_lens, 0)  # escape rows filled below
     t_data = np.frombuffer(b"".join(symbols), dtype=np.uint8)
     ofs = np.concatenate(([0], np.cumsum(t_lens)))[:-1]
     lens = t_lens[idx]
-    return lens, gather_runs(t_data, ofs[idx], lens)
+    out = gather_runs(t_data, ofs[idx], lens)
+    if n_exc:
+        exc_lens = decode_int_sub(r, n_exc)
+        exc_data = r.take(int(exc_lens.sum()))
+        is_exc = idx == esc
+        lens = lens.copy()
+        lens[is_exc] = exc_lens
+        # rebuild: splice exception bytes into their row positions
+        n_total = int(lens.sum())
+        full = np.empty(n_total, dtype=np.uint8)
+        dst_ofs = np.cumsum(lens) - lens
+        full[multi_range(dst_ofs[~is_exc], lens[~is_exc])] = out
+        full[multi_range(dst_ofs[is_exc], exc_lens)] = np.asarray(exc_data)
+        return lens, full
+    return lens, out
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +239,174 @@ def _fsst_decode(r: ByteReader, n: int, ctx: dict | None = None):
     return lens, data
 
 
+# ---------------------------------------------------------------------------
+# FSST with a globally-trained, broadcast symbol table: the blob stores only
+# the table id (the cluster-scale analog of Layer.keys being tile-level,
+# vector_tile.proto:69-72). Training happens ONCE per column per encode job
+# on a driver-side sample; executors only compress. Losslessness never
+# depends on the table fitting the data, so a sampled table is always safe.
+
+def _fsstg_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
+    lens, data = inp
+    table: fsstmod.SymbolTable = params["fsst_table"]
+    symtab_id: int = params["symtab_id"]
+    comp = table.compress(data)
+    parts: list[bytes] = []
+    put_uvarint(parts, symtab_id)
+    parts.append(encode_int_sub(lens))
+    put_uvarint(parts, len(comp))
+    parts.append(comp)
+    return b"".join(parts)
+
+
+def _fsstg_decode(r: ByteReader, n: int, ctx: dict | None = None):
+    symtab_id = r.uvarint()
+    cache = ctx.setdefault("_fsst_decoders", {})
+    table = cache.get(symtab_id)
+    if table is None:
+        table = fsstmod.SymbolTable(symbols=list(ctx["symtabs"][symtab_id]))
+        cache[symtab_id] = table
+    lens = decode_int_sub(r, n)
+    comp = r.section()
+    data = table.decompress(comp)
+    if len(data) != int(lens.sum()):
+        raise ValueError("fsst_global decode length mismatch")
+    return lens, data
+
+
+# ---------------------------------------------------------------------------
+# token dictionary: split rows on the 0x20 separator, dictionary-encode the
+# token stream (pyarrow C++ hash), frequency-remap ids so hot tokens get
+# 1-byte varints, FSST-compress the unique-token table.
+#
+# This composes the reference's two core tricks at a finer grain: the
+# layer-global value dictionary (MvtLayerProps.java:33-60) applied to
+# sub-value tokens, with the packed-varint reference stream of
+# vector_tile.proto:44. Losslessness: every 0x20 byte is by definition a
+# separator, so rows == join(tokens, ' ') exactly — arbitrary binary rows
+# (including 0x20 bytes inside noise) round-trip, they just dict poorly.
+
+TOK_SEP = 0x20
+
+
+def _tokd_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
+    lens, data = inp
+    n = len(lens)
+    if n == 0:
+        return b"\x00"
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    # data2 = rows with one separator appended each (tokens never cross rows)
+    cum = np.cumsum(lens)
+    total2 = int(cum[-1]) + n
+    data2 = pbuf("tokd.d2", total2, np.uint8)
+    sep_pos = cum + np.arange(1, n + 1, dtype=np.int64) - 1
+    row_start2 = sep_pos - lens
+    if len(data):
+        data2[multi_range(row_start2, lens)] = data
+    data2[sep_pos] = TOK_SEP
+
+    sp = np.flatnonzero(data2 == TOK_SEP)
+    tok_lens = np.diff(sp, prepend=-1) - 1
+    n_tokens = len(sp)
+    # tokens per row = separators up to & incl. the row's appended one
+    c = np.searchsorted(sp, sep_pos, side="left") + 1
+    tokens_per_row = np.diff(c, prepend=0)
+
+    values = data2[data2 != TOK_SEP]
+    tofs = np.zeros(n_tokens + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=tofs[1:])
+    tok_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_tokens,
+        [None, pa.py_buffer(tofs.tobytes()), pa.py_buffer(values.tobytes())])
+    denc = tok_arr.dictionary_encode()
+    ids = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t_lens, t_data = _array_parts(denc.dictionary)
+
+    # frequency remap: hot tokens -> small ids -> 1-byte varints.
+    # deterministic: stable sort, ties keep first-occurrence order.
+    counts = np.bincount(ids, minlength=len(t_lens))
+    order = np.argsort(-counts, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    ids = rank[ids]
+    t_ofs = np.zeros(len(t_lens) + 1, dtype=np.int64)
+    np.cumsum(t_lens, out=t_ofs[1:])
+    t_lens = t_lens[order]
+    t_data = gather_runs(t_data, t_ofs[:-1][order], t_lens)
+
+    parts: list[bytes] = [b"\x01"]
+    put_uvarint(parts, n_tokens)
+    parts.append(encode_int_sub(tokens_per_row))
+    put_uvarint(parts, len(t_lens))
+    parts.append(encode_int_sub(t_lens))
+    tb = t_data.tobytes()
+    table = params.get("fsst_table")
+    use_fsst = len(tb) >= 2048 and params.get("table_fsst", True)
+    if use_fsst:
+        if table is None:
+            table = fsstmod.train(t_data, sample_cap=1 << 16)
+        comp = table.compress(t_data)
+        stb = table.table_bytes()
+        if len(comp) + len(stb) + 10 < len(tb):
+            parts.append(b"\x01")
+            put_section(parts, stb)
+            put_section(parts, comp)
+        else:
+            use_fsst = False
+    if not use_fsst:
+        parts.append(b"\x00")
+        parts.append(tb)
+    parts.append(encode_int_sub(ids))
+    return b"".join(parts)
+
+
+def _tokd_decode(r: ByteReader, n: int, ctx: dict | None = None):
+    flag = int(r.take(1)[0])
+    if flag == 0:
+        if n != 0:
+            raise ValueError("tok_dict: empty payload for non-empty block")
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint8)
+    n_tokens = r.uvarint()
+    tokens_per_row = decode_int_sub(r, n)
+    nuniq = r.uvarint()
+    t_lens = decode_int_sub(r, nuniq)
+    table_flag = int(r.take(1)[0])
+    if table_flag == 1:
+        stb = r.section()
+        comp = r.section()
+        t_data = fsstmod.decoder_from_table_bytes(stb).decompress(comp)
+    else:
+        t_data = r.take(int(t_lens.sum()))
+    if len(t_data) != int(t_lens.sum()):
+        raise ValueError("tok_dict: table length mismatch")
+    ids = decode_int_sub(r, n_tokens)
+    if n_tokens and (int(ids.min()) < 0 or int(ids.max()) >= nuniq):
+        raise ValueError("tok_dict: id out of range")
+    t_ofs = np.zeros(nuniq + 1, dtype=np.int64)
+    np.cumsum(t_lens, out=t_ofs[1:])
+
+    tok_lens = t_lens[ids]
+    d2_lens = tok_lens + 1  # token + its separator
+    total2 = int(d2_lens.sum())
+    data2 = pbuf("tokd.dec", total2, np.uint8)
+    data2.fill(TOK_SEP)
+    ends2 = np.cumsum(d2_lens)
+    gathered = np.asarray(t_data)[multi_range(t_ofs[:-1][ids], tok_lens)]
+    data2[multi_range(ends2 - d2_lens, tok_lens)] = gathered
+    # rows = data2 split at each row's final (appended) separator, dropped
+    ct = np.cumsum(tokens_per_row)
+    if len(ct) and int(ct[-1]) != n_tokens:
+        raise ValueError("tok_dict: token count mismatch")
+    row_end2 = ends2[ct - 1] if n_tokens else np.zeros(n, dtype=np.int64)
+    out_lens = np.diff(row_end2, prepend=0) - 1
+    keep = np.ones(total2, dtype=bool)
+    keep[row_end2 - 1] = False
+    return out_lens, data2[keep]
+
+
 RAW_BYTES = register(CodecSpec("raw_bytes", 0x11, SHAPE_BYTES, _rawb_encode, _rawb_decode))
 DICT_BYTES = register(CodecSpec("dict_bytes", 0x12, SHAPE_BYTES, _dictb_encode, _dictb_decode))
 DICT_GLOBAL = register(CodecSpec("dict_global", 0x13, SHAPE_BYTES, _dictg_encode, _dictg_decode))
 FSST_BYTES = register(CodecSpec("fsst", 0x14, SHAPE_BYTES, _fsst_encode, _fsst_decode))
+TOK_DICT = register(CodecSpec("tok_dict", 0x15, SHAPE_BYTES, _tokd_encode, _tokd_decode))
+FSST_GLOBAL = register(CodecSpec("fsst_global", 0x16, SHAPE_BYTES, _fsstg_encode, _fsstg_decode))

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .gather import multi_range
+from .pool import pbuf
 from .primitives import varint_decode, varint_encode_one
 
 ESCAPE = 255
@@ -78,24 +79,40 @@ def _greedy_parse(data: np.ndarray, tables: dict):
     Longest match per position via ascending-length overwrite; the walk
     (next = pos + len) resolved with pointer doubling per CHUNK — a match
     never crosses a chunk edge, so chunk starts are exact walk seeds.
+
+    Int32 throughout (block data is far below 2^31), uint16-truncation LUT
+    indexing, and pooled scratch buffers with ``out=`` ufunc forms keep
+    memory traffic off fresh pages — this sandbox services first-touch page
+    faults at ~150 MB/s vs 6-10 GB/s for reused heap (see pool.py).
     """
     n = len(data)
-    best_len = np.ones(n, dtype=np.int64)
-    best_sym = np.full(n, -1, dtype=np.int64)
-    h = data.astype(np.uint64)
-    in_chunk = np.arange(n, dtype=np.int64) % CHUNK
+    best_len = pbuf("fsst.blen", n, np.int32)
+    best_len.fill(1)
+    best_sym = pbuf("fsst.bsym", n, np.int32)
+    best_sym.fill(-1)
+    h = pbuf("fsst.h", n, np.uint64)
+    np.copyto(h, data)
+    cmask = np.int32(CHUNK - 1)  # CHUNK is a power of two
     for L in range(2, MAX_SYMBOL_LEN + 1):
         if n < L:
             break
-        h = h[: n - L + 1] * _HM + data[L - 1 :]
+        m = n - L + 1
+        h = h[:m]
+        np.multiply(h, _HM, out=h)
+        np.add(h, data[L - 1 :], out=h)
         entry = tables.get(L)
         if entry is None:
             continue
         lut, hs, sidx, mat = entry
-        cand = np.flatnonzero(lut[(h & np.uint64(0xFFFF)).astype(np.int64)])
+        # uint16 truncation == (h & 0xFFFF) without a second temporary
+        hv = pbuf("fsst.hv", m, np.uint16)
+        np.copyto(hv, h, casting="unsafe")
+        lb = pbuf("fsst.lb", m, bool)
+        np.take(lut, hv, out=lb)
+        cand = np.flatnonzero(lb).astype(np.int32)
         if len(cand) == 0:
             continue
-        cand = cand[in_chunk[cand] + L <= CHUNK]
+        cand = cand[(cand & cmask) + L <= CHUNK]
         if len(cand) == 0:
             continue
         pos = np.searchsorted(hs, h[cand])
@@ -103,13 +120,20 @@ def _greedy_parse(data: np.ndarray, tables: dict):
         cand, pos = cand[ok], pos[ok]
         if len(cand) == 0:
             continue
-        exact = (data[cand[:, None] + np.arange(L)[None, :]] == mat[pos]).all(axis=1)
+        exact = (data[cand[:, None] + np.arange(L, dtype=np.int32)[None, :]]
+                 == mat[pos]).all(axis=1)
         cand, pos = cand[exact], pos[exact]
         best_len[cand] = L
         best_sym[cand] = sidx[pos]
-    nxt = np.minimum(np.arange(n, dtype=np.int64) + best_len, n)
-    J = np.append(nxt, n)
-    visited = np.zeros(n + 1, dtype=bool)
+    J = pbuf("fsst.J", n + 1, np.int32)
+    J2 = pbuf("fsst.J2", n + 1, np.int32)
+    iota = pbuf("fsst.iota", n, np.int32)
+    _fill_iota(iota)
+    np.add(iota, best_len, out=J[:-1])
+    np.minimum(J[:-1], n, out=J[:-1])
+    J[n] = n
+    visited = pbuf("fsst.vis", n + 1, bool)
+    visited.fill(False)
     visited[np.arange(0, n, CHUNK)] = True
     visited[n] = True
     for _ in range(13):  # 2^13 > CHUNK covers worst-case all-single steps
@@ -118,9 +142,24 @@ def _greedy_parse(data: np.ndarray, tables: dict):
         visited[J[idx]] = True
         if int(visited.sum()) == before:
             break
-        J = J[J]
+        np.take(J, J, out=J2)
+        J, J2 = J2, J
     vp = np.flatnonzero(visited[:-1])
     return vp, best_sym[vp]
+
+
+def _fill_iota(buf: np.ndarray) -> None:
+    """Fill a pooled int32 buffer with 0..n-1 without allocating."""
+    n = len(buf)
+    if n == 0:
+        return
+    # doubling copy: [0], then [0,1], [0..3], ... each step reuses the buffer
+    buf[0] = 0
+    filled = 1
+    while filled < n:
+        step = min(filled, n - filled)
+        np.add(buf[:step], np.int32(filled), out=buf[filled : filled + step])
+        filled += step
 
 
 @dataclass
@@ -169,9 +208,14 @@ class SymbolTable:
                                     self._tables)
         matched = sym >= 0
         lens_e, ofs_e, enc_data = self._byte_enc()
-        out_lens = np.where(matched, 1, lens_e[data[vp]])
-        out_ofs = np.concatenate(([0], np.cumsum(out_lens)))
-        out = np.empty(int(out_ofs[-1]), dtype=np.uint8)
+        k = len(vp)
+        out_lens = pbuf("fsst.olen", k, np.int64)
+        np.take(lens_e, data[vp], out=out_lens)
+        out_lens[matched] = 1
+        out_ofs = pbuf("fsst.oofs", k + 1, np.int64)
+        out_ofs[0] = 0
+        np.cumsum(out_lens, out=out_ofs[1:])
+        out = pbuf("fsst.out", int(out_ofs[-1]), np.uint8)
         out[out_ofs[:-1][matched]] = sym[matched].astype(np.uint8)
         um = ~matched
         if um.any():
@@ -196,16 +240,19 @@ class SymbolTable:
                 raise ValueError("corrupt fsst stream: trailing escape")
         else:
             esc = p255
-        kind = np.zeros(len(b), dtype=np.int8)  # 0=code 1=escape 2=literal
+        m = len(b)
+        kind = pbuf("fsst.kind", m, np.int8)  # 0=code 1=escape 2=literal
+        kind.fill(0)
         kind[esc] = 1
         kind[esc + 1] = 2
-        codes = b.astype(np.int64)
+        codes = pbuf("fsst.codes", m, np.int64)
+        np.copyto(codes, b)
         is_code = kind == 0
         if is_code.any() and int(codes[is_code].max()) >= len(self.symbols):
             raise ValueError("corrupt fsst stream: code out of range")
         safe = np.where(is_code, codes, 0)
         out_lens = np.where(kind == 1, 0, np.where(kind == 2, 1, self._sym_lens[safe]))
-        src = np.where(kind == 2, len(self._sym_data) + np.arange(len(b)),
+        src = np.where(kind == 2, len(self._sym_data) + np.arange(m),
                        self._sym_ofs[safe])
         pool = np.concatenate((self._sym_data, b))
         return pool[multi_range(src, out_lens)]
@@ -286,15 +333,24 @@ def train(
     sample_cap: int = 1 << 18,
     min_count_frac: float = 2e-4,
     refine_rounds: int = 2,
+    merge_cap: int = 1 << 17,
 ) -> SymbolTable:
     """Train a table: pair-merge candidate generation + encoder-aligned
-    refinement. Deterministic (ties break to the smallest pair key)."""
+    refinement. Deterministic (ties break to the smallest pair key).
+
+    The merge loop costs O(rounds * tokens) — it runs on a smaller
+    sub-sample (merge_cap) than the refinement parse (sample_cap): candidate
+    *generation* saturates early, while the refinement ranking benefits from
+    seeing more data through the real encoder.
+    """
     sample = spread_sample(data, sample_cap) if len(data) > sample_cap else data
     sample = np.ascontiguousarray(sample, dtype=np.uint8)
-    toks = sample.astype(np.int32)
+    msample = (spread_sample(sample, merge_cap) if len(sample) > merge_cap
+               else sample)
+    toks = msample.astype(np.int32)
     tok_bytes: list[bytes] = [bytes([i]) for i in range(256)]
     tok_lens = np.ones(256 + max_rounds, dtype=np.int64)
-    min_count = max(4, int(len(sample) * min_count_frac))
+    min_count = max(4, int(len(msample) * min_count_frac))
     for _ in range(max_rounds):
         if len(toks) < 2:
             break

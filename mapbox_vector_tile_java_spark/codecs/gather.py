@@ -37,7 +37,12 @@ def warm_heap(nbytes: int | None = None) -> None:
 
 
 def multi_range(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenation of [s, s+1, ..., s+l-1] for each (s, l) pair, one cumsum."""
+    """Concatenation of [s, s+1, ..., s+l-1] for each (s, l) pair, one cumsum.
+
+    WARNING: returns a pooled scratch buffer that is only valid until the
+    next multi_range call in this process — use it immediately as a fancy
+    index (which copies) and do not hold a reference across calls.
+    """
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     nz = lens > 0
     if not nz.all():
@@ -45,12 +50,16 @@ def multi_range(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)
-    d = np.ones(total, dtype=np.int64)
+    from .pool import pbuf
+
+    d = pbuf("gather.mr", total, np.int64)
+    d.fill(1)
     heads = np.cumsum(lens) - lens
     d[0] = starts[0]
     if len(starts) > 1:
         d[heads[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
-    return np.cumsum(d)
+    np.cumsum(d, out=d)
+    return d
 
 
 def gather_runs(pool: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -217,6 +217,27 @@ def delta_size(a: np.ndarray) -> int:
 
 
 # ---------------------------------------------------------------------------
+# plain LEB128 varint stream (no zig-zag: the shortest encoding for skewed
+# non-negative streams like frequency-remapped dictionary ids; negative
+# values still round-trip exactly via the uint64 bit pattern, they just cost
+# 10 bytes — the size-based selector keeps this codec away from them)
+# reference analog: packed uint32 varint tag/geometry streams
+# (vector_tile.proto:44,52; generated VectorTile.java:1768-1785)
+
+def _varint_int_encode(a: np.ndarray, params: dict) -> bytes:
+    return varint_encode(np.ascontiguousarray(a, dtype=np.int64).view(np.uint64))
+
+
+def _varint_int_decode(r: ByteReader, n: int) -> np.ndarray:
+    return r.uvarints(n).view(np.int64)
+
+
+def varint_int_size(a: np.ndarray) -> int:
+    return int(varint_byte_lengths(
+        np.ascontiguousarray(a, dtype=np.int64).view(np.uint64)).sum())
+
+
+# ---------------------------------------------------------------------------
 # dictionary (sorted-unique symbol table + bit-packed indexes)
 # reference analog: MvtLayerProps insert-or-get dict build
 # (MvtLayerProps.java:33-60) + packed tag index stream (vector_tile.proto:44)
@@ -262,3 +283,4 @@ RLE_INT = register(CodecSpec("rle_int", 0x03, SHAPE_INT, _rle_encode, _rle_decod
 FOR_BITPACK = register(CodecSpec("for_bitpack", 0x04, SHAPE_INT, _for_encode, _for_decode))
 FOR_DELTA = register(CodecSpec("for_delta", 0x05, SHAPE_INT, _delta_encode, _delta_decode))
 DICT_INT = register(CodecSpec("dict_int", 0x06, SHAPE_INT, _dict_encode, _dict_decode))
+VARINT_INT = register(CodecSpec("varint_int", 0x07, SHAPE_INT, _varint_int_encode, _varint_int_decode))

@@ -42,6 +42,16 @@ FSST_MIN_DATA = 256        # don't bother training below this many bytes
 FSST_SAMPLE = 128 * 1024   # train + trial-compress on at most this much
 FSST_MIN_GAIN = 1.10       # require >=10% gain over the dict/raw alternative
 DICT_MAX_RATIO = 0.5       # dict eligible when nuniq/n <= this
+TOK_MIN_SEP_FRAC = 0.02    # tok_dict trialed when >=2% separator bytes
+
+
+def row_sample(lens: np.ndarray, data: np.ndarray, cap: int):
+    """Row-aligned prefix sample: the first k rows totalling <= cap bytes
+    (at least one row). Returns (s_lens, s_data)."""
+    cum = np.cumsum(lens)
+    k = int(np.searchsorted(cum, cap, side="right")) + 1
+    k = min(max(k, 1), len(lens))
+    return lens[:k], data[: int(cum[k - 1])]
 
 
 def choose_bytes_codec(lens: np.ndarray, data: np.ndarray,
@@ -51,6 +61,8 @@ def choose_bytes_codec(lens: np.ndarray, data: np.ndarray,
     The cardinality test mirrors the reference's dict-eligibility check
     (MvtLayerProps.addValue returning -1 for ineligible values,
     MvtLayerProps.java:49-60): high-cardinality blocks must reject dict.
+    Candidates are trial-encoded on a sample and compared by realized size —
+    the descendant of the reference's stats-then-choose encode discipline.
     """
     n = len(lens)
     if n == 0 or len(data) == 0:
@@ -69,6 +81,8 @@ def choose_bytes_codec(lens: np.ndarray, data: np.ndarray,
                 best = ("dict_bytes", dict_sz, {})
 
     if len(data) >= FSST_MIN_DATA:
+        from .bytescodecs import _tokd_encode
+
         sample = data if len(data) <= FSST_SAMPLE else fsstmod.spread_sample(data, FSST_SAMPLE)
         table = fsstmod.train(sample)
         comp = table.compress(sample)
@@ -79,5 +93,15 @@ def choose_bytes_codec(lens: np.ndarray, data: np.ndarray,
             # dominates encode cost and FSST tables generalize (losslessness
             # never depends on the table fitting the data)
             best = ("fsst", est, {"fsst_table": table})
+
+        n_sep = int((np.asarray(data[:FSST_SAMPLE]) == 0x20).sum())
+        if n_sep >= TOK_MIN_SEP_FRAC * min(len(data), FSST_SAMPLE):
+            s_lens, s_data = row_sample(lens, data, FSST_SAMPLE)
+            blob = _tokd_encode((s_lens, s_data), {"fsst_table": table})
+            tok_est = int(len(blob) * (len(data) / max(len(s_data), 1)))
+            if tok_est < best[1]:
+                # reuse the sample-trained fsst table for per-block token
+                # tables (lossless regardless of fit; skips re-training)
+                best = ("tok_dict", tok_est, {"fsst_table": table})
 
     return best[0], best[2]

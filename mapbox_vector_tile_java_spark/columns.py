@@ -208,11 +208,12 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
         spec = by_name(name)
         parts.append(bytes([spec.codec_id]))
         parts.append(spec.encode((lens, data), params))
-        if chosen is not None and name in ("fsst", "dict_bytes", "raw_bytes"):
+        if chosen is not None and name in ("fsst", "tok_dict", "dict_bytes", "raw_bytes"):
             # safe to reuse for sibling blocks (lossless regardless of data);
             # saves re-training FSST tables per block
             blob = b"".join(parts)
-            meta = _meta(name, raw_bytes, len(blob), crc, n, int(arr.null_count))
+            meta = _meta(name, raw_bytes, len(blob), crc, n, int(arr.null_count),
+                         params.get("symtab_id", -1))
             meta["reusable_plan"] = chosen
             return blob, meta
     elif _is_listlike(t):
@@ -232,10 +233,11 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
         raise TypeError(f"unsupported column type: {t}")
 
     blob = b"".join(parts)
-    return blob, _meta(name, raw_bytes, len(blob), crc, n, int(arr.null_count))
+    return blob, _meta(name, raw_bytes, len(blob), crc, n, int(arr.null_count),
+                       params.get("symtab_id", -1))
 
 
-def _meta(codec, raw_bytes, enc_bytes, crc, n, nulls):
+def _meta(codec, raw_bytes, enc_bytes, crc, n, nulls, symtab_id=-1):
     return {
         "codec": codec,
         "raw_bytes": int(raw_bytes),
@@ -243,7 +245,42 @@ def _meta(codec, raw_bytes, enc_bytes, crc, n, nulls):
         "content_crc": int(crc) & 0xFFFFFFFFFFFFFFFF,
         "n_rows": int(n),
         "null_count": int(nulls),
+        "symtab_id": int(symtab_id),
     }
+
+
+def content_crc(arr: pa.Array | pa.ChunkedArray) -> int:
+    """Recompute the manifest content checksum of an arrow column — the
+    exact chain encode_column builds while encoding, so decode can verify
+    bit-identity without the source (SURVEY A16: corruption check ≡
+    checksum in manifest; round-trip discipline of MvtBuildTest.java:179)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    n = len(arr)
+    valid = (arr.is_valid().to_numpy(zero_copy_only=False)
+             if arr.null_count else np.ones(n, dtype=bool))
+    nn = arr.drop_null() if arr.null_count else arr
+    crc = zlib.crc32(pack_validity(valid))
+    if arr.null_count == n or n == 0:
+        return crc & 0xFFFFFFFFFFFFFFFF
+    if _is_intlike(t):
+        crc = zlib.crc32(np.ascontiguousarray(_to_int64(nn)).tobytes(), crc)
+    elif _is_byteslike(t):
+        lens, data = _bytes_parts(nn)
+        crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
+        crc = zlib.crc32(data.tobytes(), crc)
+    elif _is_listlike(t):
+        flat = nn.flatten()
+        large = pa.types.is_large_list(t)
+        obuf = np.frombuffer(nn.buffers()[1], dtype=np.int64 if large else np.int32)
+        o = obuf[nn.offset : nn.offset + len(nn) + 1].astype(np.int64)
+        lens = np.diff(o)
+        crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
+        crc = zlib.crc32(content_crc(flat).to_bytes(8, "little"), crc)
+    else:
+        raise TypeError(f"unsupported column type: {t}")
+    return crc & 0xFFFFFFFFFFFFFFFF
 
 
 def decode_column(blob: bytes | memoryview | np.ndarray, t: pa.DataType,

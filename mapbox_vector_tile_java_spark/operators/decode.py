@@ -27,13 +27,14 @@ from ..plans import manifest as M
 
 
 def make_decode_fn(schema: pa.Schema, symtabs: dict[int, list[bytes]],
-                   columns: list[str] | None):
+                   columns: list[str] | None, verify_crc: bool = True):
     names = columns or schema.names
     out_schema = pa.schema([schema.field(n) for n in names])
     ctx = {"symtabs": symtabs}
 
     def fn(batches):
         from ..codecs.gather import warm_heap
+        from ..columns import content_crc
 
         warm_heap()
         for b in batches:
@@ -49,14 +50,23 @@ def make_decode_fn(schema: pa.Schema, symtabs: dict[int, list[bytes]],
                 for n in names:
                     e = by_name[n]
                     blob = e["blob"].as_buffer()
-                    arrays.append(decode_column(blob, out_schema.field(n).type, ctx))
+                    arr = decode_column(blob, out_schema.field(n).type, ctx)
+                    if verify_crc:
+                        want = e["content_crc"].as_py()
+                        got = content_crc(arr)
+                        if want is not None and got != want:
+                            raise ValueError(
+                                f"checksum mismatch decoding column {n!r}: "
+                                f"manifest={want} decoded={got} — block is corrupt")
+                    arrays.append(arr)
                 yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return fn
 
 
 def decode_table(spark, out_dir: str, columns: list[str] | None = None,
-                 zone_filters: list[tuple[str, int, int]] | None = None):
+                 zone_filters: list[tuple[str, int, int]] | None = None,
+                 verify_crc: bool = True):
     """Read an encoded table back as a DataFrame.
 
     zone_filters: [(col, lo, hi)] keeps only blocks whose [min,max] overlaps
@@ -81,7 +91,8 @@ def decode_table(spark, out_dir: str, columns: list[str] | None = None,
                 raise KeyError(f"unknown column {c}")
     out_fields = [schema.field(n) for n in (columns or schema.names)]
     spark_schema = from_arrow_schema(pa.schema(out_fields))
-    return blocks.mapInArrow(make_decode_fn(schema, symtabs, columns), spark_schema)
+    return blocks.mapInArrow(
+        make_decode_fn(schema, symtabs, columns, verify_crc), spark_schema)
 
 
 def read_manifest(spark, out_dir: str):

@@ -66,6 +66,7 @@ def encode_batch(batch: pa.RecordBatch, pid: int, block_id: int,
             "enc_bytes": meta["enc_bytes"],
             "content_crc": meta["content_crc"] - (1 << 63) if meta["content_crc"] >= (1 << 63) else meta["content_crc"],
             "min_i64": mn, "max_i64": mx,
+            "symtab_id": meta.get("symtab_id", -1),
         }
         cols.append({**row, "blob": blob})
         mrows.append({"part_id": pid, "block_id": block_id,
@@ -151,26 +152,67 @@ def build_global_dicts(df, cols: list[str] | str = "auto") -> dict:
     return out
 
 
-def encode_table(df, out_dir: str, *, global_dict_cols="auto",
+def encode_table(df, out_dir: str, *, plan: str = "global",
+                 sample: "pa.Table | None" = None,
                  codec_overrides: dict | None = None, resume: bool = True,
                  config_note: dict | None = None):
-    """Encode a (pre-partitioned) DataFrame. Returns the manifest DataFrame.
+    """Encode a (pre-partitioned) DataFrame. Returns the manifest table.
 
     Callers should partition first (plans.partitioning.plan_webtext /
     plan_generic); this function does no shuffle of its own.
+
+    plan="global" (default): one sampling job trains every shared artifact
+    driver-side (FSST tables, global dictionaries) and fixes per-column
+    codecs up front — executors only compress (SURVEY §3.1: the cluster
+    analog of build-once-per-layer dictionaries, MvtEncoder.java:91). The
+    plan + symbol tables are persisted to meta.json BEFORE the encode job,
+    so a resumed run reuses the identical plan and mixed-run partitions
+    stay mutually decodable. plan="block": per-partition auto-selection
+    (no sampling job; each partition trains its own tables).
+
+    ``sample``: pre-collected pa.Table to plan from (lets a pipeline share
+    one sample between codec planning and skew detection, and lets callers
+    sample the UNSHUFFLED input — sampling `df` itself would pay its
+    shuffle twice, since recompiled DataFrame actions do not reuse
+    exchanges across jobs).
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from ..plans.codec_plan import (collect_sample, overrides_from_plan,
+                                    plan_from_sample)
+
     os.makedirs(out_dir, exist_ok=True)
     overrides = dict(codec_overrides or {})
-    gdicts = build_global_dicts(df, global_dict_cols) if global_dict_cols else {}
-    symtabs = {}
-    for col, (sid, symbols) in gdicts.items():
-        if col not in overrides:
-            overrides[col] = ("dict_global", {"symbols": symbols, "symtab_id": sid})
-            symtabs[sid] = symbols
-
+    symtabs: dict[int, list[bytes]] = {}
+    plan_note: dict = {}
     schema = to_arrow_schema(df.schema)
+
+    prior = None
+    if resume:
+        try:
+            prior = M.read_meta(out_dir)
+        except (FileNotFoundError, ValueError, KeyError):
+            prior = None
+    if prior is not None and prior[2].get("plan"):
+        _, symtabs, cfg = prior
+        plan_note = cfg["plan"]
+        planned = overrides_from_plan(plan_note, symtabs)
+        for col, ov in planned.items():
+            overrides.setdefault(col, ov)
+    elif plan == "global":
+        if sample is None:
+            sample = collect_sample(df)
+        o2, symtabs, plan_note = plan_from_sample(sample, skip=set(overrides))
+        for col, (cname, params) in list(overrides.items()):
+            # caller-supplied global-dict overrides also need their symbols
+            # persisted for decode
+            if cname == "dict_global" and isinstance(params, dict):
+                symtabs[params["symtab_id"]] = params["symbols"]
+        overrides.update(o2)
+
+    M.write_meta(out_dir, schema, symtabs,
+                 {"note": config_note or {}, "plan": plan_note,
+                  "n_parts": df.rdd.getNumPartitions()})
     mdf = df.mapInArrow(make_encode_fn(out_dir, overrides, resume, schema),
                         M.manifest_spark_schema())
     # one action runs the whole job and lands the manifest
@@ -178,6 +220,21 @@ def encode_table(df, out_dir: str, *, global_dict_cols="auto",
     rows = mdf.collect()
     mtable = pa.Table.from_pylist([r.asDict() for r in rows], schema=M.MANIFEST_ARROW)
     pq.write_table(mtable, mpath)
-    M.write_meta(out_dir, schema, symtabs,
-                 {"note": config_note or {}, "n_parts": df.rdd.getNumPartitions()})
     return mtable
+
+
+def encode_webtext(df, out_dir: str, n_parts: int, url_col: str = "url",
+                   resume: bool = True, config_note: dict | None = None):
+    """Full webtext pipeline: ONE sampling job on the unshuffled input
+    drives both skew salting and codec planning, then one shuffle+encode
+    job. This is the production entry point for the north-rule table."""
+    from ..plans.codec_plan import (collect_sample, hot_keys_from_sample,
+                                    plan_from_sample)
+    from ..plans.partitioning import plan_webtext
+
+    sample = collect_sample(df)
+    hot = hot_keys_from_sample(sample, url_col, n_parts)
+    planned = plan_webtext(df, n_parts, url_col=url_col, hot_hosts=hot)
+    return encode_table(planned, out_dir, sample=sample, resume=resume,
+                        config_note={**(config_note or {}),
+                                     "hot_hosts": hot})

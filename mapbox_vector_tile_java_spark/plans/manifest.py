@@ -37,6 +37,7 @@ COLUMN_STRUCT = pa.struct([
     pa.field("content_crc", pa.int64()),
     pa.field("min_i64", pa.int64()),
     pa.field("max_i64", pa.int64()),
+    pa.field("symtab_id", pa.int64()),
     pa.field("blob", pa.large_binary()),
 ])
 
@@ -53,6 +54,7 @@ MANIFEST_FIELDS = [
     ("name", "string"), ("dtype", "string"), ("codec", "string"),
     ("null_count", "long"), ("raw_bytes", "long"), ("enc_bytes", "long"),
     ("content_crc", "long"), ("min_i64", "long"), ("max_i64", "long"),
+    ("symtab_id", "long"),
 ]
 
 
@@ -71,6 +73,7 @@ MANIFEST_ARROW = pa.schema([
     pa.field("null_count", pa.int64()), pa.field("raw_bytes", pa.int64()),
     pa.field("enc_bytes", pa.int64()), pa.field("content_crc", pa.int64()),
     pa.field("min_i64", pa.int64()), pa.field("max_i64", pa.int64()),
+    pa.field("symtab_id", pa.int64()),
 ])
 
 

@@ -24,8 +24,7 @@ RUN_SNIPPET = r"""
 import json, sys, tempfile, time
 from mapbox_vector_tile_java_spark.session import get_spark
 from mapbox_vector_tile_java_spark.sources.webtext import webtext_df
-from mapbox_vector_tile_java_spark.plans.partitioning import plan_webtext
-from mapbox_vector_tile_java_spark.operators.encode import encode_table
+from mapbox_vector_tile_java_spark.operators.encode import encode_webtext
 from mapbox_vector_tile_java_spark.operators.decode import read_manifest
 from pyspark.sql import functions as F
 
@@ -35,8 +34,10 @@ work = tempfile.mkdtemp(prefix=f"mvt_scale_{cores}_")
 src = webtext_df(spark, n_rows, seed=42, partitions=n_parts)
 src.write.mode("overwrite").parquet(f"{work}/src")
 base = spark.read.parquet(f"{work}/src")
+# warm python workers (one-time per-executor cost at scale, not throughput)
+webtext_df(spark, cores * 64, seed=1, partitions=cores).count()
 t0 = time.time()
-encode_table(plan_webtext(base, n_parts=n_parts), f"{work}/enc")
+encode_webtext(base, f"{work}/enc", n_parts=n_parts)
 wall = time.time() - t0
 m = read_manifest(spark, f"{work}/enc").agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
 print("RESULT " + json.dumps({"cores": cores, "wall": wall,

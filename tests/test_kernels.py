@@ -93,7 +93,7 @@ INT_FIXTURES = {
 }
 
 
-@pytest.mark.parametrize("codec", ["raw_int", "rle_int", "for_bitpack", "for_delta", "dict_int"])
+@pytest.mark.parametrize("codec", ["raw_int", "rle_int", "for_bitpack", "for_delta", "dict_int", "varint_int"])
 @pytest.mark.parametrize("name", list(INT_FIXTURES))
 def test_int_codec_roundtrip(codec, name):
     a = INT_FIXTURES[name]
@@ -155,7 +155,7 @@ BYTES_FIXTURES = {
 }
 
 
-@pytest.mark.parametrize("codec", ["raw_bytes", "dict_bytes", "fsst"])
+@pytest.mark.parametrize("codec", ["raw_bytes", "dict_bytes", "fsst", "tok_dict"])
 @pytest.mark.parametrize("name", list(BYTES_FIXTURES))
 def test_bytes_codec_roundtrip(codec, name):
     lens, data = _bytes_fixture(BYTES_FIXTURES[name])
@@ -181,10 +181,54 @@ def test_dict_global_roundtrip():
     np.testing.assert_array_equal(np.asarray(out_data), data)
 
 
-def test_dict_global_missing_value_raises():
-    lens, data = _bytes_fixture([b"xx"])
-    with pytest.raises(ValueError):
-        by_name("dict_global").encode((lens, data), {"symbols": [b"en"], "symtab_id": 0})
+def test_fsst_global_roundtrip_with_mismatched_table():
+    # a globally-trained table must round-trip data it never saw (escapes)
+    train_rows = [b"the quick brown fox " * 30] * 20
+    _, train_data = _bytes_fixture(train_rows)
+    table = fsst.train(train_data)
+    rows = [b"completely different \xff\x00 bytes", b"", b"the quick", bytes(range(256))]
+    lens, data = _bytes_fixture(rows)
+    spec = by_name("fsst_global")
+    blob = spec.encode((lens, data), {"fsst_table": table, "symtab_id": 7})
+    r = base.ByteReader(blob)
+    ctx = {"symtabs": {7: list(table.symbols)}}
+    l2, d2 = spec.decode(r, len(rows), ctx)
+    r.expect_end()
+    np.testing.assert_array_equal(np.asarray(l2), lens)
+    assert np.asarray(d2).tobytes() == data.tobytes()
+    # decoder cache: second blob reuses the cached SymbolTable
+    blob2 = spec.encode((lens, data), {"fsst_table": table, "symtab_id": 7})
+    r2 = base.ByteReader(blob2)
+    l3, d3 = spec.decode(r2, len(rows), ctx)
+    assert np.asarray(d3).tobytes() == data.tobytes()
+
+
+def test_tok_dict_space_structure_roundtrip():
+    rows = [b"hello world", b" lead", b"trail ", b"", b"  ", b"a  b",
+            b"\x20\x20\x20", b"\x00\x01 binary\x20stuff\xff", b"no-spaces-here"]
+    lens, data = _bytes_fixture(rows)
+    spec = by_name("tok_dict")
+    blob = spec.encode((lens, data), {})
+    r = base.ByteReader(blob)
+    l2, d2 = spec.decode(r, len(rows), {})
+    r.expect_end()
+    np.testing.assert_array_equal(np.asarray(l2), lens)
+    assert np.asarray(d2).tobytes() == data.tobytes()
+
+
+def test_dict_global_out_of_dict_values_escape():
+    # values absent from the (sampled) global dictionary round-trip via the
+    # inline escape path instead of failing — at cluster scale the dict
+    # comes from a sample, so the tail MUST be escapable
+    rows = [b"en", b"xx", b"de", b"", b"xx", b"zz-long-value", b"en"]
+    lens, data = _bytes_fixture(rows)
+    params = {"symbols": [b"de", b"en"], "symtab_id": 0}
+    blob = by_name("dict_global").encode((lens, data), params)
+    r = base.ByteReader(blob)
+    l2, d2 = by_name("dict_global").decode(r, len(rows), {"symtabs": {0: [b"de", b"en"]}})
+    r.expect_end()
+    np.testing.assert_array_equal(np.asarray(l2), lens)
+    assert np.asarray(d2).tobytes() == data.tobytes()
 
 
 class TestFsst:

@@ -45,7 +45,8 @@ def test_webtext_codec_choices(spark, webtext_encoded):
     by_col = {n: set(g["codec"]) for n, g in m.groupby("name")}
     assert by_col["lang"] == {"dict_global"}
     assert by_col["warc_ts"] <= {"for_delta", "for_bitpack", "rle_int"}
-    assert "fsst" in by_col["text"]
+    # text is wordy: the planner should pick a string codec, not raw
+    assert by_col["text"] <= {"tok_dict", "fsst", "fsst_global"}, by_col["text"]
 
 
 def test_webtext_compression_beats_raw(spark, webtext_encoded):
