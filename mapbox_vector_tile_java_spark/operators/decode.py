@@ -38,26 +38,23 @@ def make_decode_fn(schema: pa.Schema, symtabs: dict[int, list[bytes]],
 
         warm_heap()
         for b in batches:
-            col_lists = b.column("columns")
+            blobs = {n: b.column(f"c_{n}") for n in names}
+            crcs = {n: b.column(f"crc_{n}") for n in names} if verify_crc else {}
             for i in range(b.num_rows):
-                entries = col_lists[i]  # ListScalar of struct
-                by_name = {}
-                for e in entries:
-                    nm = e["name"].as_py()
-                    if nm in names:
-                        by_name[nm] = e
                 arrays = []
                 for n in names:
-                    e = by_name[n]
-                    blob = e["blob"].as_buffer()
+                    blob = blobs[n][i].as_buffer()
                     arr = decode_column(blob, out_schema.field(n).type, ctx)
                     if verify_crc:
-                        want = e["content_crc"].as_py()
-                        got = content_crc(arr)
-                        if want is not None and got != want:
-                            raise ValueError(
-                                f"checksum mismatch decoding column {n!r}: "
-                                f"manifest={want} decoded={got} — block is corrupt")
+                        want = crcs[n][i].as_py()
+                        if want is not None:
+                            if want < 0:
+                                want += 1 << 64
+                            got = content_crc(arr)
+                            if got != want:
+                                raise ValueError(
+                                    f"checksum mismatch decoding column {n!r}: "
+                                    f"manifest={want} decoded={got} — block is corrupt")
                     arrays.append(arr)
                 yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
@@ -80,16 +77,26 @@ def decode_table(spark, out_dir: str, columns: list[str] | None = None,
     schema, symtabs, _ = M.read_meta(out_dir)
     blocks = spark.read.parquet(M.blocks_dir(out_dir))
     if zone_filters:
+        # zone maps are plain top-level columns: the predicate pushes down
+        # to the parquet scan and prunes whole row groups via their stats —
+        # the cluster-scale descendant of the reference's cheap AABB
+        # pre-filter before expensive work (JtsAdapter.java:232)
         for col, lo, hi in zone_filters:
-            pred = lambda c: ((c["name"] == F.lit(col))
-                              & (c["min_i64"] <= F.lit(int(hi)))
-                              & (c["max_i64"] >= F.lit(int(lo))))
-            blocks = blocks.filter(F.exists("columns", pred))
+            blocks = blocks.filter(
+                F.col(f"mn_{col}").isNull()
+                | ((F.col(f"mn_{col}") <= F.lit(int(hi)))
+                   & (F.col(f"mx_{col}") >= F.lit(int(lo)))))
     if columns:
         for c in columns:
             if c not in schema.names:
                 raise KeyError(f"unknown column {c}")
-    out_fields = [schema.field(n) for n in (columns or schema.names)]
+    names = columns or schema.names
+    need = ["part_id", "block_id", "n_rows"] + [f"c_{n}" for n in names]
+    if verify_crc:
+        need += [f"crc_{n}" for n in names]
+    # explicit projection -> parquet reads ONLY the requested blob columns
+    blocks = blocks.select(*need)
+    out_fields = [schema.field(n) for n in names]
     spark_schema = from_arrow_schema(pa.schema(out_fields))
     return blocks.mapInArrow(
         make_decode_fn(schema, symtabs, columns, verify_crc), spark_schema)

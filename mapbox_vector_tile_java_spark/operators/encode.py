@@ -49,7 +49,8 @@ def encode_batch(batch: pa.RecordBatch, pid: int, block_id: int,
     sibling blocks of a partition — training once per partition, the way the
     reference builds one dict per layer, not per feature (MvtEncoder.java:91).
     """
-    cols, mrows = [], []
+    mrows = []
+    block = {"part_id": pid, "block_id": block_id, "n_rows": batch.num_rows}
     plan_cache = plan_cache if plan_cache is not None else {}
     for name in batch.schema.names:
         arr = batch.column(name)
@@ -60,19 +61,20 @@ def encode_batch(batch: pa.RecordBatch, pid: int, block_id: int,
         if "reusable_plan" in meta:
             plan_cache[name] = meta.pop("reusable_plan")
         mn, mx = _minmax_i64(arr)
-        row = {
-            "name": name, "dtype": str(arr.type), "codec": meta["codec"],
-            "null_count": meta["null_count"], "raw_bytes": meta["raw_bytes"],
-            "enc_bytes": meta["enc_bytes"],
-            "content_crc": meta["content_crc"] - (1 << 63) if meta["content_crc"] >= (1 << 63) else meta["content_crc"],
-            "min_i64": mn, "max_i64": mx,
-            "symtab_id": meta.get("symtab_id", -1),
-        }
-        cols.append({**row, "blob": blob})
+        crc = meta["content_crc"]
+        crc = crc - (1 << 64) if crc >= (1 << 63) else crc  # int64 view
+        block[f"c_{name}"] = blob
+        block[f"crc_{name}"] = crc
+        block[f"mn_{name}"] = mn
+        block[f"mx_{name}"] = mx
         mrows.append({"part_id": pid, "block_id": block_id,
-                      "n_rows": batch.num_rows, **row})
-    block = {"part_id": pid, "block_id": block_id, "n_rows": batch.num_rows,
-             "columns": cols}
+                      "n_rows": batch.num_rows, "name": name,
+                      "dtype": str(arr.type), "codec": meta["codec"],
+                      "null_count": meta["null_count"],
+                      "raw_bytes": meta["raw_bytes"],
+                      "enc_bytes": meta["enc_bytes"], "content_crc": crc,
+                      "min_i64": mn, "max_i64": mx,
+                      "symtab_id": meta.get("symtab_id", -1)})
     return block, mrows
 
 
@@ -112,9 +114,11 @@ def make_encode_fn(out_dir: str, overrides: dict, resume: bool,
             blocks.append(block)
             mrows.extend(rows)
         os.makedirs(M.blocks_dir(out_dir), exist_ok=True)
-        table = pa.Table.from_pylist(blocks, schema=M.BLOCK_SCHEMA)
+        table = pa.Table.from_pylist(blocks, schema=M.block_schema(schema))
         tmp = M.part_file(out_dir, pid) + ".tmp"
-        pq.write_table(table, tmp, compression="none")
+        # small row groups -> zone-map predicates prune at row-group grain;
+        # no parquet-level recompression (blobs are already compressed)
+        pq.write_table(table, tmp, compression="none", row_group_size=64)
         os.replace(tmp, M.part_file(out_dir, pid))
         M.write_done(out_dir, pid, mrows)
         yield _manifest_batch(mrows)

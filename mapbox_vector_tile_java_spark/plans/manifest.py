@@ -24,29 +24,26 @@ import zlib
 
 import pyarrow as pa
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
-# struct carried per column inside a block row
-COLUMN_STRUCT = pa.struct([
-    pa.field("name", pa.string()),
-    pa.field("dtype", pa.string()),
-    pa.field("codec", pa.string()),
-    pa.field("null_count", pa.int64()),
-    pa.field("raw_bytes", pa.int64()),
-    pa.field("enc_bytes", pa.int64()),
-    pa.field("content_crc", pa.int64()),
-    pa.field("min_i64", pa.int64()),
-    pa.field("max_i64", pa.int64()),
-    pa.field("symtab_id", pa.int64()),
-    pa.field("blob", pa.large_binary()),
-])
 
-BLOCK_SCHEMA = pa.schema([
-    pa.field("part_id", pa.int32()),
-    pa.field("block_id", pa.int64()),
-    pa.field("n_rows", pa.int64()),
-    pa.field("columns", pa.list_(COLUMN_STRUCT)),
-])
+def block_schema(table_schema: pa.Schema) -> pa.Schema:
+    """Per-table block-file schema: one parquet COLUMN per encoded table
+    column (blob + crc + zone map), not a list-of-structs row. Parquet
+    column pruning then skips unrequested blobs at the scan (`ReadSchema`),
+    and zone-map min/max land in parquet row-group stats so block pruning
+    pushes down as an ordinary predicate — both essential at 100 TB."""
+    fields = [
+        pa.field("part_id", pa.int32()),
+        pa.field("block_id", pa.int64()),
+        pa.field("n_rows", pa.int64()),
+    ]
+    for f in table_schema:
+        fields.append(pa.field(f"c_{f.name}", pa.large_binary()))
+        fields.append(pa.field(f"crc_{f.name}", pa.int64()))
+        fields.append(pa.field(f"mn_{f.name}", pa.int64()))
+        fields.append(pa.field(f"mx_{f.name}", pa.int64()))
+    return pa.schema(fields)
 
 # flat manifest row (no blob) — what the encode job returns to the driver
 MANIFEST_FIELDS = [
