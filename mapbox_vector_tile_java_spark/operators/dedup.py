@@ -237,20 +237,73 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
                             threshold: float = 0.95) -> DataFrame:
-    """Exact cosine pairs >= threshold (brute force — oracle baseline).
+    """Exact cosine pairs >= threshold.
 
-    All math in double with left-to-right folds so an ANSI-SQL oracle can
-    reproduce values bit-for-bit. Scale path: similarity.ivf_topk buckets.
+    Physical plan: broadcast the (small) normalized matrix to every task and
+    compute each partition's rows against it with a vectorized Arrow kernel
+    — the matrix analog of a broadcast-nested-loop join, with no O(n^2)
+    shuffle. Accumulation is dimension-sequential (a 64-step vectorized
+    loop), i.e. the same left-to-right fold as the ANSI-SQL oracle, so
+    rounded values match bit-for-bit. For tables too big to broadcast, the
+    scale path is LSH/IVF bucketing (minhash_lsh_pairs / similarity.ivf_topk).
     """
-    d = df.select(F.col(id_col).alias("id"),
-                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    d = d.select("id", "v", norm.alias("nrm")).where(F.col("nrm") > 0)
-    a, b = d.alias("a"), d.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (a.join(b, F.col("a.id") < F.col("b.id"))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.round(cos, 6).alias("cosine"))
-             .where(F.col("cosine") >= threshold))
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    d = (df.select(F.col(id_col).cast("long").alias("id"),
+                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")))
+    # one collect of the normalized matrix (broadcast-small-side pattern)
+    mat_tbl = d.toArrow()
+    ids = mat_tbl.column("id").to_numpy(zero_copy_only=False)
+    flat = mat_tbl.column("v").combine_chunks()
+    dim = len(flat[0]) if len(flat) else 0
+    M = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
+                   dtype=np.float64).reshape(len(ids), dim)
+    # sequential-over-dims norm: matches sqrt(fold(x*x)) exactly
+    acc = np.zeros(len(ids))
+    for kdim in range(dim):
+        acc += M[:, kdim] * M[:, kdim]
+    nrm = np.sqrt(acc)
+    keep = nrm > 0
+    ids, M, nrm = ids[keep], M[keep], nrm[keep]
+    bc = spark.sparkContext.broadcast((ids, M, nrm))
+
+    out_schema = pa.schema([pa.field("id_a", pa.int64()),
+                            pa.field("id_b", pa.int64()),
+                            pa.field("cosine", pa.float64())])
+
+    def pairs(batches):
+        g_ids, g_m, g_nrm = bc.value
+        for b in batches:
+            bid = b.column("id").to_numpy(zero_copy_only=False)
+            fl = b.column("v")
+            if len(fl) == 0:
+                continue
+            bm = np.asarray(pa.chunked_array([fl]).combine_chunks().flatten()
+                            .to_numpy(zero_copy_only=False),
+                            dtype=np.float64).reshape(len(bid), -1)
+            a2 = np.zeros(len(bid))
+            for kdim in range(bm.shape[1]):
+                a2 += bm[:, kdim] * bm[:, kdim]
+            bnrm = np.sqrt(a2)
+            ok = bnrm > 0
+            bid, bm, bnrm = bid[ok], bm[ok], bnrm[ok]
+            # sub-chunk so the score matrix stays ~16MB regardless of batch
+            step = max(1, (1 << 21) // max(len(g_ids), 1))
+            for s in range(0, len(bid), step):
+                cb_id, cb_m, cb_n = bid[s:s+step], bm[s:s+step], bnrm[s:s+step]
+                # dimension-sequential accumulation == left-to-right fold
+                dots = np.zeros((len(cb_id), len(g_ids)))
+                for kdim in range(cb_m.shape[1]):
+                    dots += cb_m[:, kdim : kdim + 1] * g_m[:, kdim][None, :]
+                cos = np.round(dots / (cb_n[:, None] * g_nrm[None, :]), 6)
+                ai, bi = np.nonzero((cos >= threshold)
+                                    & (cb_id[:, None] < g_ids[None, :]))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cb_id[ai], type=pa.int64()),
+                     pa.array(g_ids[bi], type=pa.int64()),
+                     pa.array(cos[ai, bi], type=pa.float64())], schema=out_schema)
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return d.mapInArrow(pairs, from_arrow_schema(out_schema))

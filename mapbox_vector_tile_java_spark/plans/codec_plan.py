@@ -24,8 +24,8 @@ import pyarrow as pa
 from ..codecs import fsst as fsstmod
 from ..codecs.selector import DICT_MAX_RATIO, FSST_MIN_DATA, row_sample
 
-SAMPLE_ROWS_PER_PART = 4096
-SAMPLE_MAX_ROWS = 65536
+SAMPLE_ROWS_PER_PART = 512    # a few hundred KB per partition suffices:
+SAMPLE_MAX_ROWS = 8192        # per-column trials cap at TRIAL_BYTES anyway
 TRIAL_BYTES = 256 * 1024        # per-column trial-encode budget
 GLOBAL_DICT_MAX = 4096          # max symbols for a broadcast dictionary
 FSST_TRAIN_BYTES = 1 << 19      # global tables train on a bigger sample
