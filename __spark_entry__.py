@@ -155,6 +155,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("n_chars").alias("max_chars"))
         .orderBy("source"))
 
+    def _zonemap_pruned_scan(s, d):
+        # encode events partitioned by time bucket -> disjoint zone maps ->
+        # decode with a zone filter + exact row predicate; oracle is the
+        # plain SQL filter on the source, so the value-hash compare proves
+        # pruning dropped no rows (SURVEY B4: AABB pre-filter descendant)
+        src = _read(s, d, "events")
+        out = tempfile.mkdtemp(prefix="mvt_zone_")
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        pdf = (src.repartition(8, F.floor(ts_us / F.lit(86_400_000_000 * 30)))
+                  .sortWithinPartitions("ts"))
+        encode_table(pdf, os.path.join(out, "t"))
+        lo, hi = src.agg(F.min(ts_us), F.max(ts_us)).first()
+        cut = lo + (hi - lo) // 3
+        dec = decode_table(s, os.path.join(out, "t"),
+                           zone_filters=[("ts", int(lo), int(cut))])
+        dts = F.unix_micros(F.col("ts").cast("timestamp"))
+        return (dec.where(dts <= F.lit(int(cut)))
+                   .select("event_id", dts.alias("ts_us"), "user_id",
+                           "event_type", "value", "props"))
+    q["zonemap_pruned_scan"] = _zonemap_pruned_scan
+
+    q["explode_embeddings"] = lambda s, d: (
+        _read(s, d, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "component"))
+        .where(F.col("pos") < 4)
+        .select("vec_id", "pos", F.round(F.col("component").cast("double"), 6)
+                .alias("component_r")))
+
     # -- text analysis
     q["text_token_stats"] = lambda s, d: T.text_stats(
         _read(s, d, "documents"), "text", "doc_id")
@@ -203,6 +231,18 @@ def oracle_sql() -> dict[str, str]:
         "epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem")
     o["roundtrip_embeddings"] = "SELECT vec_id, embedding, label FROM embeddings"
     o["roundtrip_orders"] = _orders_oracle()
+
+    o["zonemap_pruned_scan"] = """
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                   FROM events)
+        SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        FROM events, b WHERE epoch_us(ts) <= b.lo + (b.hi - b.lo) // 3"""
+
+    o["explode_embeddings"] = """
+        SELECT vec_id, i - 1 AS pos,
+               round(CAST(embedding[i] AS DOUBLE), 6) AS component_r
+        FROM embeddings, generate_series(1, 4) AS g(i)
+        WHERE i <= len(embedding)"""
 
     o["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,

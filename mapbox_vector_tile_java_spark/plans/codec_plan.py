@@ -76,10 +76,10 @@ def plan_from_sample(sample: pa.Table, skip: set[str] = frozenset(),
     note: dict = {}
     sid = next_sid
 
-    for field in sample.schema:
-        col = field.name
-        if col in skip or not _is_byteslike(field.type):
-            continue
+    cols = [f.name for f in sample.schema
+            if f.name not in skip and _is_byteslike(f.type)]
+
+    def plan_col(col):
         nn = sample.column(col).combine_chunks()
         if isinstance(nn, pa.ChunkedArray):
             nn = nn.combine_chunks()
@@ -87,7 +87,7 @@ def plan_from_sample(sample: pa.Table, skip: set[str] = frozenset(),
         lens, data = _bytes_parts(nn)
         n = len(lens)
         if n == 0 or len(data) < FSST_MIN_DATA:
-            continue
+            return col, None
         raw_size = int(len(data)) + n
         best = ("raw_bytes", raw_size, {}, None)  # name, est, params, symbols
 
@@ -126,8 +126,24 @@ def plan_from_sample(sample: pa.Table, skip: set[str] = frozenset(),
             if tok_est < best[1]:
                 best = ("tok_dict", tok_est, {"fsst_table": table},
                         list(table.symbols))
+        return col, (*best, n)
 
-        name, est, params, symbols = best
+    # plan columns concurrently: training/trials are big-array numpy work
+    # (GIL mostly released) and this is the job's only serial driver-side
+    # section — it bounds scaling efficiency at small data sizes
+    if len(cols) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(cols))) as ex:
+            results = dict(ex.map(plan_col, cols))
+    else:
+        results = dict(map(plan_col, cols))
+
+    for col in cols:  # deterministic sid assignment in schema order
+        r = results[col]
+        if r is None:
+            continue
+        name, est, params, symbols, n = r
         if name == "raw_bytes":
             note[col] = {"codec": name, "symtab_id": -1}
             overrides[col] = (name, None)
