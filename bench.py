@@ -109,6 +109,24 @@ def main():
     extras["parquet_zstd_bytes"] = _dir_bytes(f"{work}/zstd_baseline")
     extras["engine_blocks_bytes"] = _dir_bytes(f"{enc_dir}/blocks")
 
+    # reference-discipline naive baseline: whole-value dictionaries for
+    # strings (MvtLayerProps.java:33-60) + varint/zigzag family for ints —
+    # the BASELINE.md "(b)" codec the compressed-size bound is measured
+    # against. No FSST/tok_dict.
+    from mapbox_vector_tile_java_spark.operators.encode import encode_table
+    from mapbox_vector_tile_java_spark.plans.partitioning import plan_webtext
+
+    def _naive():
+        encode_table(
+            plan_webtext(base, n_parts=CPUS, hot_hosts={}),
+            f"{work}/naive", plan="block",
+            codec_overrides={c: ("dict_bytes", None)
+                             for c in ("url", "html", "text", "lang")})
+    timed("naive_reference_encode", _naive)
+    nm = read_manifest(spark, f"{work}/naive").groupBy().agg(
+        F.sum("enc_bytes").alias("e")).first()
+    extras["naive_reference_bytes"] = int(nm["e"])
+
     # --- operator suite on the driver tables -------------------------------
     qs = E.queries()
     suite = [
