@@ -213,8 +213,17 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   max_hamming: int = 6, shingle_k: int = 4) -> DataFrame:
     """Near-dup candidates: 4 bands of 16 bits; >=1 exact band match implies
-    hamming<=48 worst case, then exact hamming filter <= max_hamming."""
-    fp = simhash_fingerprints(df, text_col, id_col, shingle_k)
+    hamming<=48 worst case, then exact hamming filter <= max_hamming.
+
+    The fingerprint stage (a python mapInArrow) is cached so the self-join
+    computes it once, not per side; degenerate fingerprint 0 (empty/too-
+    short text) is excluded from banding — at web scale those rows would
+    all land in one bucket and make the band join quadratic (skew guard,
+    same motivation as host salting in the partition planner).
+    """
+    fp = (simhash_fingerprints(df, text_col, id_col, shingle_k)
+          .where(F.col("simhash") != 0).persist())
+    fp.count()  # materialize before the self-join forks the plan
     banded = fp.select(
         "id", "simhash",
         F.posexplode(F.array(*[
