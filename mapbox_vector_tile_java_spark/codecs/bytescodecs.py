@@ -28,11 +28,13 @@ from .intcodecs import (
     CONST_INT,
     FOR_BITPACK,
     FOR_DELTA,
+    HUFF_INT,
     RAW_INT,
     RLE_INT,
     VARINT_INT,
     delta_size,
     for_size,
+    huff_size,
     raw_int_size,
     rle_size,
     varint_int_size,
@@ -63,6 +65,10 @@ def encode_int_sub(a: np.ndarray, params: dict | None = None) -> bytes:
         (varint_int_size(a), VARINT_INT),
         (raw_int_size(n), RAW_INT),
     ]
+    if n >= 1024:
+        # entropy coding pays only on long skewed streams; the model build
+        # (np.unique + heap) is not worth running on short sub-blobs
+        cands.append((huff_size(a), HUFF_INT))
     cands.sort(key=lambda c: (c[0], c[1].codec_id))
     spec = cands[0][1]
     return bytes([spec.codec_id]) + spec.encode(a, params)

@@ -277,6 +277,28 @@ def dict_size(a: np.ndarray, uniq: np.ndarray) -> int:
     return 5 + table + 1 + (len(a) * w + 7) // 8
 
 
+# ---------------------------------------------------------------------------
+# canonical Huffman (lane-vectorized; see huffman.py) — the entropy coder
+# for skewed streams where even 1-byte varints waste bits
+
+def _huff_encode(a: np.ndarray, params: dict) -> bytes:
+    from . import huffman
+
+    return huffman.encode(a)
+
+
+def _huff_decode(r: ByteReader, n: int) -> np.ndarray:
+    from . import huffman
+
+    return huffman.decode(r, n)
+
+
+def huff_size(a: np.ndarray) -> int:
+    from . import huffman
+
+    return huffman.encoded_size(a)
+
+
 RAW_INT = register(CodecSpec("raw_int", 0x01, SHAPE_INT, _raw_encode, _raw_decode))
 CONST_INT = register(CodecSpec("const_int", 0x02, SHAPE_INT, _const_encode, _const_decode))
 RLE_INT = register(CodecSpec("rle_int", 0x03, SHAPE_INT, _rle_encode, _rle_decode))
@@ -284,3 +306,4 @@ FOR_BITPACK = register(CodecSpec("for_bitpack", 0x04, SHAPE_INT, _for_encode, _f
 FOR_DELTA = register(CodecSpec("for_delta", 0x05, SHAPE_INT, _delta_encode, _delta_decode))
 DICT_INT = register(CodecSpec("dict_int", 0x06, SHAPE_INT, _dict_encode, _dict_decode))
 VARINT_INT = register(CodecSpec("varint_int", 0x07, SHAPE_INT, _varint_int_encode, _varint_int_decode))
+HUFF_INT = register(CodecSpec("huff_int", 0x08, SHAPE_INT, _huff_encode, _huff_decode))

@@ -89,7 +89,9 @@ def test_repetitive_text_picks_fsst():
     docs = [f"common crawl web page body {i:06d} text with shared vocabulary " * 3
             for i in range(2000)]
     meta = roundtrip(pa.array(docs, type=pa.string()))
-    assert meta["codec"] == "fsst"
+    # size-based choice between the substring (fsst) and token (tok_dict)
+    # compressors — either is correct; raw/dict here would be a selector bug
+    assert meta["codec"] in ("fsst", "tok_dict")
     assert meta["enc_bytes"] < meta["raw_bytes"] / 2
 
 

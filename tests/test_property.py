@@ -36,7 +36,7 @@ def _roundtrip_int(codec: str, values: list[int]):
 
 @pytest.mark.parametrize(
     "codec", ["raw_int", "rle_int", "for_bitpack", "for_delta", "dict_int",
-              "varint_int"])
+              "varint_int", "huff_int"])
 @settings(max_examples=60, deadline=None)
 @given(values=st.lists(I64, min_size=1, max_size=200))
 def test_int_codec_roundtrip_property(codec, values):
