@@ -24,22 +24,33 @@ import pyarrow as pa
 from ..codecs import fsst as fsstmod
 from ..codecs.selector import DICT_MAX_RATIO, FSST_MIN_DATA, row_sample
 
-SAMPLE_ROWS_PER_PART = 512    # a few hundred KB per partition suffices:
-SAMPLE_MAX_ROWS = 8192        # per-column trials cap at TRIAL_BYTES anyway
+SAMPLE_ROWS_PER_PART = 512      # a few hundred KB per partition suffices:
+SAMPLE_PARTITIONS = 16          # per-column trials cap at TRIAL_BYTES anyway
 TRIAL_BYTES = 256 * 1024        # per-column trial-encode budget
 GLOBAL_DICT_MAX = 4096          # max symbols for a broadcast dictionary
 FSST_TRAIN_BYTES = 1 << 19      # global tables train on a bigger sample
 
 
 def collect_sample(df, rows_per_part: int = SAMPLE_ROWS_PER_PART,
-                   max_rows: int = SAMPLE_MAX_ROWS) -> pa.Table:
-    """One Spark job: head rows from each partition, capped overall.
+                   sample_partitions: int = SAMPLE_PARTITIONS) -> pa.Table:
+    """One Spark job: head rows from ``sample_partitions`` evenly-strided
+    partitions.
 
-    Per-partition heads (not a global limit) so the sample sees every
-    partition's data shape; the iterator short-circuits after the first
-    Arrow batch, so each task reads only the head of its input.
+    Fully deterministic for a given input+partitioning (unlike a global
+    ``limit``, whose surviving rows depend on task completion order) — so
+    the codec plan, and therefore every encoded byte and checksum,
+    reproduces across independent runs. Non-selected partitions' tasks
+    return immediately; selected tasks read only their first Arrow batch.
     """
+    nparts = df.rdd.getNumPartitions()
+    stride = max(1, nparts // sample_partitions)
+
     def head(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid % stride != 0 or pid // stride >= sample_partitions:
+            return
         took = 0
         for b in batches:
             if took >= rows_per_part:
@@ -48,7 +59,7 @@ def collect_sample(df, rows_per_part: int = SAMPLE_ROWS_PER_PART,
             took += s.num_rows
             yield s
 
-    return df.mapInArrow(head, df.schema).limit(max_rows).toArrow()
+    return df.mapInArrow(head, df.schema).toArrow()
 
 
 def _is_byteslike(t: pa.DataType) -> bool:

@@ -132,3 +132,22 @@ def test_nulls_and_empties_survive(spark, tmp_path):
     out = str(tmp_path / "nulls")
     encode_table(plan_generic(src, 2, "k"), out)
     verify_roundtrip(src, decode_table(spark, out))
+
+
+def test_encode_reproducible_across_runs(spark, tmp_path):
+    """Two independent fresh encodes of the same input produce identical
+    manifests (codecs, byte counts, checksums) — the determinism rule that
+    makes checksums and resume meaningful (SURVEY §4)."""
+    from mapbox_vector_tile_java_spark.operators.encode import encode_webtext
+
+    df = webtext_df(spark, 4_000, seed=42, partitions=4)
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / f"rep_{run}")
+        encode_webtext(df, out, n_parts=4)
+        m = (read_manifest(spark, out)
+             .select("part_id", "block_id", "name", "codec", "n_rows",
+                     "raw_bytes", "enc_bytes", "content_crc", "symtab_id")
+             .orderBy("part_id", "block_id", "name").collect())
+        outs.append([tuple(r) for r in m])
+    assert outs[0] == outs[1]
