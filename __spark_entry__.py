@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, d: S.ivf_topk(
         _read(s, d, "embeddings"), "embedding", "vec_id",
         query_ids=[0, 1, 2, 3, 4], k=10)
+    q["ann_ivf_recall"] = lambda s, d: S.ivf_recall(
+        _read(s, d, "embeddings"), "embedding", "vec_id",
+        query_ids=[0, 1, 2, 3, 4], k=10)
 
     # -- multimodal plumbing (synthetic media, stubbed decode)
     q["media_meta"] = lambda s, d: decode_media_meta(synth_media_df(s, 2_000, seed=42, partitions=4))

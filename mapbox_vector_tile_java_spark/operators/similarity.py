@@ -117,3 +117,28 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
              .withColumn("rank", F.row_number().over(w))
              .where(F.col("rank") <= k)
              .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def ivf_recall(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
+               k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+               seed: int = 42) -> DataFrame:
+    """Recall@k of the IVF index vs exact brute force, per query.
+
+    The approximate path's quality gate: the engine reports its own recall
+    the way it reports compression ratios — measured, not assumed.
+    """
+    exact = (brute_force_topk(df, vec_col, id_col, query_ids, k)
+             .select("query_id", F.col("neighbor_id").alias("nid_exact")))
+    approx = (ivf_topk(df, vec_col, id_col, query_ids, k, n_centroids,
+                       n_probe, seed)
+              .select("query_id", F.col("neighbor_id").alias("nid_approx")))
+    hits = (exact.join(approx,
+                       (exact.query_id == approx.query_id)
+                       & (exact.nid_exact == approx.nid_approx), "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            / F.col("n_exact"), 4).alias("recall_at_k"))
+            .orderBy("query_id"))
