@@ -179,14 +179,27 @@ def encode(values: np.ndarray) -> bytes:
     lane_start_bits = (np.cumsum(lane_bytes) - lane_bytes) * 8
     lane_of = np.arange(n, dtype=np.int64) % lanes
     gbp = lane_start_bits[lane_of] + ofs_grid.ravel()[:n]
-    bits = np.zeros(int(lane_bytes.sum()) * 8, dtype=np.uint8)
-    mr = multi_range(gbp, lens_i)
-    ks = mr - np.repeat(gbp, lens_i)
-    bits[mr] = ((np.repeat(codes_i, lens_i)
-                 >> (np.repeat(lens_i, lens_i) - 1 - ks)) & 1).astype(np.uint8)
+    # pack via 3-byte windows: a <=12-bit code at bit offset sh (<8) fits in
+    # bytes [gbp>>3, gbp>>3 + 2]; bits past the code are zero, so OR-ing a
+    # window never corrupts a neighbor. Values within one step live in
+    # different lanes (disjoint byte ranges), so each statement's fancy
+    # indices are unique; consecutive steps OR cumulatively.
+    out_b = np.zeros(int(lane_bytes.sum()) + 2, dtype=np.uint8)  # +2 spill pad
+    gbyte = gbp >> 3
+    sh = gbp & 7
+    w24 = codes_i << (24 - sh - lens_i)
+    b0 = (w24 >> 16).astype(np.uint8)
+    b1 = ((w24 >> 8) & 0xFF).astype(np.uint8)
+    b2 = (w24 & 0xFF).astype(np.uint8)
+    for s in range(steps):
+        sl = slice(s * lanes, min((s + 1) * lanes, n))
+        idx = gbyte[sl]
+        out_b[idx] |= b0[sl]
+        out_b[idx + 1] |= b1[sl]
+        out_b[idx + 2] |= b2[sl]
     parts.append(varint_encode_one(lanes))
     parts.append(varint_encode(lane_bytes.astype(np.uint64)))
-    parts.append(np.packbits(bits).tobytes())
+    parts.append(out_b[:-2].tobytes())
     return b"".join(parts)
 
 
