@@ -41,7 +41,6 @@ from .intcodecs import (
 )
 from .pool import pbuf
 from .gather import gather_runs, multi_range
-from .primitives import bit_width, bitpack, bitunpack
 
 
 # ---------------------------------------------------------------------------
@@ -121,15 +120,15 @@ def _dictb_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
     arr = _bytes_array(lens, data)
     enc = arr.dictionary_encode()
     table = enc.dictionary
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     t_lens, t_data = _array_parts(table)
     parts: list[bytes] = []
     put_uvarint(parts, len(table))
     parts.append(encode_int_sub(t_lens))
     parts.append(t_data.tobytes())
-    w = bit_width(np.array([max(len(table) - 1, 0)], dtype=np.uint64))
-    parts.append(bytes([w]))
-    parts.append(bitpack(idx, w))
+    # index stream through the int selector: skewed dictionaries get
+    # huffman/rle instead of fixed-width packing
+    parts.append(encode_int_sub(idx))
     return b"".join(parts)
 
 
@@ -137,8 +136,9 @@ def _dictb_decode(r: ByteReader, n: int, ctx: dict | None = None):
     nuniq = r.uvarint()
     t_lens = decode_int_sub(r, nuniq)
     t_data = r.take(int(t_lens.sum()))
-    w = int(r.take(1)[0])
-    idx = bitunpack(r.take((n * w + 7) // 8), n, w).astype(np.int64)
+    idx = decode_int_sub(r, n)
+    if n and (int(idx.min()) < 0 or int(idx.max()) >= nuniq):
+        raise ValueError("dict_bytes: index out of range")
     lens = t_lens[idx]
     ofs = np.concatenate(([0], np.cumsum(t_lens)))[:-1]
     return lens, gather_runs(t_data, ofs[idx], lens)
@@ -162,14 +162,12 @@ def _dictg_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
     esc = len(symbols)
     missing = idx.null_count > 0
     iv = (pc.fill_null(idx, esc).cast(pa.int64())
-          .to_numpy(zero_copy_only=False).astype(np.uint64))
+          .to_numpy(zero_copy_only=False).astype(np.int64))
     parts: list[bytes] = []
     put_uvarint(parts, symtab_id)
-    w = bit_width(np.array([esc], dtype=np.uint64).view(np.uint64))
-    parts.append(bytes([w]))
-    parts.append(bitpack(iv, w))
+    parts.append(encode_int_sub(iv))
     if missing:
-        is_exc = iv == np.uint64(esc)
+        is_exc = iv == esc
         exc_lens = lens[is_exc]
         exc_data = _take_rows(lens, data, is_exc)
         put_uvarint(parts, len(exc_lens))
@@ -189,8 +187,7 @@ def _dictg_decode(r: ByteReader, n: int, ctx: dict | None = None):
     symtab_id = r.uvarint()
     symbols: list[bytes] = ctx["symtabs"][symtab_id]
     esc = len(symbols)
-    w = int(r.take(1)[0])
-    idx = bitunpack(r.take((n * w + 7) // 8), n, w).astype(np.int64)
+    idx = decode_int_sub(r, n)
     n_exc = r.uvarint()
     if int((idx == esc).sum()) != n_exc or (idx > esc).any():
         raise ValueError("dict_global: exception count/code mismatch")

@@ -1,0 +1,62 @@
+"""Generate the golden wire-format fixtures under tests/golden/.
+
+Run ONCE when the wire format intentionally changes:
+    python tests/golden_gen.py
+The paired test (test_golden.py) then pins both decodability and encoder
+determinism against these bytes — the engine's analog of the reference's
+checked-in .mvt fixtures (MvtReaderTest.java:39-138).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from mapbox_vector_tile_java_spark.columns import encode_column
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def fixtures() -> dict[str, pa.Array]:
+    rng = np.random.default_rng(487125064)  # reference seed, MvtBuildTest.java:60
+    words = ["the", "quick", "brown", "fox", "data", "web", "crawl", "page"]
+    texts = [" ".join(rng.choice(words, size=int(k))) for k in rng.integers(0, 30, 400)]
+    texts[5] = ""
+    ts = 1_600_000_000_000_000 + np.cumsum(rng.integers(0, 1000, 500))
+    return {
+        "int64_delta": pa.array(ts, type=pa.int64()),
+        "int64_mixed": pa.array(
+            np.concatenate([np.repeat([7, -3], 200),
+                            rng.integers(-(2**40), 2**40, 100)]), type=pa.int64()),
+        "string_tokens": pa.array(texts + [None, ""], type=pa.string()),
+        "string_lowcard": pa.array(
+            [["en", "de", "fr"][i % 3] for i in range(300)] + [None],
+            type=pa.string()),
+        "float_bits": pa.array(
+            [1.5, -0.0, float("nan"), float("inf"), None, 2.5e-308],
+            type=pa.float64()),
+        "timestamp_us": pa.Array.from_buffers(
+            pa.timestamp("us"), 500, [None, pa.py_buffer(ts.astype(np.int64).tobytes())],
+            null_count=0),
+        "binary_with_sep": pa.array(
+            [bytes(rng.integers(0, 256, int(k)).astype(np.uint8)) for k in
+             rng.integers(0, 60, 200)], type=pa.binary()),
+        "list_int": pa.array(
+            [list(range(i % 7)) for i in range(150)] + [None],
+            type=pa.list_(pa.int64())),
+    }
+
+
+def main():
+    os.makedirs(HERE, exist_ok=True)
+    for name, arr in fixtures().items():
+        blob, meta = encode_column(arr, "auto")
+        with open(os.path.join(HERE, f"{name}.bin"), "wb") as f:
+            f.write(blob)
+        print(f"{name}: {meta['codec']} {len(blob)}B crc={meta['content_crc']}")
+
+
+if __name__ == "__main__":
+    main()
