@@ -219,6 +219,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal plumbing (synthetic media, stubbed decode)
     q["media_meta"] = lambda s, d: decode_media_meta(synth_media_df(s, 2_000, seed=42, partitions=4))
 
+    # -- streaming ingestion (engine-specific -> rows-only check): two
+    # micro-batches encode as segments, union-decoded back bit-identically
+    def _streaming_ingest(s, d):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from mapbox_vector_tile_java_spark.sources.webtext import SCHEMA, gen_batch
+        from mapbox_vector_tile_java_spark.streaming.incremental import (
+            decode_segments, encode_stream)
+
+        root = tempfile.mkdtemp(prefix="mvt_stream_")
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000)]):
+            t = pa.Table.from_batches(
+                [gen_batch(np.arange(lo, hi, dtype=np.int64), seed=42)],
+                schema=SCHEMA)
+            pq.write_table(t, os.path.join(src, f"chunk-{i}.parquet"))
+        stream = (s.readStream.schema(from_arrow_schema(SCHEMA))
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        qy = encode_stream(stream, os.path.join(root, "out"), n_parts=2,
+                           checkpoint_dir=os.path.join(root, "ckpt"))
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        dec = decode_segments(s, os.path.join(root, "out"))
+        return dec.select("url", F.unix_micros("warc_ts").alias("warc_ts_us"),
+                          F.length("html").alias("html_len"), "text", "lang")
+    q["streaming_ingest_roundtrip"] = _streaming_ingest
+
     return q
 
 
