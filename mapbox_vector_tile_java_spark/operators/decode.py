@@ -74,8 +74,19 @@ def decode_table(spark, out_dir: str, columns: list[str] | None = None,
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    import glob as _glob
+
     schema, symtabs, _ = M.read_meta(out_dir)
-    blocks = spark.read.parquet(M.blocks_dir(out_dir))
+    if columns:
+        for c in columns:
+            if c not in schema.names:
+                raise KeyError(f"unknown column {c}")
+    bdir = M.blocks_dir(out_dir)
+    if not _glob.glob(os.path.join(bdir, "*.parquet")):
+        # zero-row table: the encode job had no tasks, so no block files
+        out_fields = [schema.field(n) for n in (columns or schema.names)]
+        return spark.createDataFrame([], from_arrow_schema(pa.schema(out_fields)))
+    blocks = spark.read.parquet(bdir)
     if zone_filters:
         # zone maps are plain top-level columns: the predicate pushes down
         # to the parquet scan and prunes whole row groups via their stats —

@@ -151,3 +151,22 @@ def test_encode_reproducible_across_runs(spark, tmp_path):
              .orderBy("part_id", "block_id", "name").collect())
         outs.append([tuple(r) for r in m])
     assert outs[0] == outs[1]
+
+
+def test_empty_and_single_row_tables(spark, tmp_path):
+    """Zero-row input produces a decodable empty table (the encode job has
+    no tasks, so no block files exist); one row round-trips."""
+    from mapbox_vector_tile_java_spark.operators.encode import encode_webtext
+
+    empty = webtext_df(spark, 0, seed=1, partitions=2)
+    out_e = str(tmp_path / "empty")
+    encode_webtext(empty, out_e, n_parts=2)
+    dec = decode_table(spark, out_e)
+    assert dec.count() == 0
+    assert dec.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert decode_table(spark, out_e, columns=["lang"]).count() == 0
+
+    one = webtext_df(spark, 1, seed=1, partitions=2)
+    out_1 = str(tmp_path / "one")
+    encode_webtext(one, out_1, n_parts=2)
+    verify_roundtrip(one, decode_table(spark, out_1))
