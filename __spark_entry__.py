@@ -69,7 +69,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["roundtrip_documents"] = lambda s, d: _roundtrip(s, d, "documents", "doc_id")
     q["roundtrip_events"] = lambda s, d: _roundtrip(s, d, "events", "event_id", ["ts"])
     q["roundtrip_lineitem"] = lambda s, d: _roundtrip(s, d, "lineitem", "l_orderkey", ["l_shipdate"])
-    q["roundtrip_embeddings"] = lambda s, d: _roundtrip(s, d, "embeddings", "vec_id")
+    def _rt_embeddings(s, d):
+        # decode runs the full list<float> codec path; the bare array<float>
+        # column is not hashable by the driver's canonicalizer, so both sides
+        # posexplode to scalar rows — every component still crosses the
+        # encode/decode boundary, keeping this the flagship list round-trip
+        dec = _roundtrip(s, d, "embeddings", "vec_id")
+        return (dec.select("vec_id", "label",
+                           F.posexplode("embedding").alias("pos", "component"))
+                   .select("vec_id", "label", "pos",
+                           F.col("component").cast("double").alias("comp_d")))
+    q["roundtrip_embeddings"] = _rt_embeddings
     q["roundtrip_orders"] = lambda s, d: _roundtrip(s, d, "orders", "o_orderkey", ["o_orderdate"])
 
     # -- codec engine introspection (engine-specific -> rows-only checks)
@@ -265,7 +275,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
         "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
         "epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem")
-    o["roundtrip_embeddings"] = "SELECT vec_id, embedding, label FROM embeddings"
+    o["roundtrip_embeddings"] = """
+        SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS comp_d
+        FROM embeddings, generate_series(1, 4096) AS g(i)
+        WHERE i <= len(embedding)"""
     o["roundtrip_orders"] = _orders_oracle()
 
     o["zonemap_pruned_scan"] = """
