@@ -32,9 +32,88 @@ from mapbox_vector_tile_java_spark.sources.webtext import webtext_df
 
 _T = lambda sf_dir, name: f"{sf_dir}/{name}.parquet"
 
+# Oracle fixtures: parquet tables written by oracle_sql() (the driver calls
+# it before executing any oracle SQL) that let DuckDB check queries whose
+# inputs are synthesized at runtime (webtext/streaming/media) or whose
+# intermediate representation (fingerprints/signatures) has no ANSI-SQL
+# construction. The kernel-derived fixtures are computed at the driver's
+# correctness-gate scale (sf0.01).
+FIXTURE_DIR = "/tmp/mvt_oracle_fixtures"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def _read(spark, sf_dir, name):
     return spark.read.parquet(_T(sf_dir, name))
+
+
+def _write_oracle_fixtures() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapbox_vector_tile_java_spark.operators.dedup import (
+        _bytes_view, minhash_kernel, simhash_kernel)
+    from mapbox_vector_tile_java_spark.operators.multimodal import (
+        KINDS, synth_media_batch)
+    from mapbox_vector_tile_java_spark.sources.webtext import SCHEMA, gen_batch
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+
+    # 1/2: the synthetic webtext tables the roundtrip queries rebuild — an
+    # independent pure-pyarrow materialization of the same deterministic
+    # generator, so encode->decode must reproduce it bit-for-bit
+    for name, n in [("webtext5000", 5000), ("stream2000", 2000)]:
+        t = pa.Table.from_batches(
+            [gen_batch(np.arange(n, dtype=np.int64), seed=42)], schema=SCHEMA)
+        pq.write_table(t, f"{FIXTURE_DIR}/{name}.parquet")
+
+    # 3/4: simhash fingerprints + minhash signatures of the sf0.01 documents
+    # (same numpy kernels as the Spark stage — the *join/banding logic* is
+    # what DuckDB independently verifies; the kernels themselves are covered
+    # by pytest unit tests)
+    docs = pq.read_table(f"{ORACLE_SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    valid, lens, data = _bytes_view(docs.column("text").combine_chunks())
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False)[valid]
+    fps = simhash_kernel(lens, data, shingle_k=4).view(np.int64)
+    pq.write_table(pa.table({"id": pa.array(ids, type=pa.int64()),
+                             "simhash": pa.array(fps, type=pa.int64())}),
+                   f"{FIXTURE_DIR}/simhash_fp.parquet")
+    sigs = minhash_kernel(lens, data, num_perm=64, shingle_k=5, seed=42)
+    sig_arr = pa.ListArray.from_arrays(
+        pa.array(np.arange(len(ids) + 1, dtype=np.int32) * 64),
+        pa.array(sigs.view(np.int64).ravel(), type=pa.int64()))
+    pq.write_table(pa.table({"id": pa.array(ids, type=pa.int64()),
+                             "sig": sig_arr}),
+                   f"{FIXTURE_DIR}/minhash_sig.parquet")
+
+    # 5: expected media metadata via an INDEPENDENT plain-python header
+    # parser (row loop + struct.unpack) — the reference implementation the
+    # vectorized kernel must agree with, golden-file style
+    import struct
+
+    media = synth_media_batch(np.arange(2000, dtype=np.int64), seed=42)
+    rows = []
+    for mid, blob in zip(media.column(0).to_pylist(), media.column(1).to_pylist()):
+        if blob is not None and len(blob) >= 11:
+            kind_b = blob[4]
+            w, h, fr = struct.unpack("<HHH", blob[5:11])
+            payload = blob[11:]
+            mean = sum(payload) // len(payload) if payload else 0
+            rows.append((mid, KINDS[kind_b] if kind_b < 3 else None,
+                         w, h, fr, len(payload), mean))
+        else:
+            rows.append((mid, None, 0, 0, 0, 0, 0))
+    exp = pa.table({
+        "media_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "kind": pa.array([r[1] for r in rows], type=pa.string()),
+        "width": pa.array([r[2] for r in rows], type=pa.int32()),
+        "height": pa.array([r[3] for r in rows], type=pa.int32()),
+        "frames": pa.array([r[4] for r in rows], type=pa.int32()),
+        "payload_bytes": pa.array([r[5] for r in rows], type=pa.int64()),
+        "mean_byte": pa.array([r[6] for r in rows], type=pa.int32()),
+    })
+    pq.write_table(exp, f"{FIXTURE_DIR}/media_expected.parquet")
 
 
 def _roundtrip(spark, sf_dir, table, key, cast_ts: list[str] = ()):
@@ -267,6 +346,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+    _write_oracle_fixtures()
+
+    wt_cols = ("url, epoch_us(warc_ts) AS warc_ts_us, "
+               "octet_length(html) AS html_len, text, lang")
+    o["webtext_roundtrip"] = (
+        f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/webtext5000.parquet')")
+    o["streaming_ingest_roundtrip"] = (
+        f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet')")
+
+    # exact all-pairs hamming join over the fingerprint table — the banding
+    # join's recall guarantee (simhash_band_exprs pigeonhole) makes the
+    # engine's bucketed result provably equal to this quadratic reference
+    o["dedup_simhash"] = f"""
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM read_parquet('{FIXTURE_DIR}/simhash_fp.parquet') a,
+             read_parquet('{FIXTURE_DIR}/simhash_fp.parquet') b
+        WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6"""
+
+    o["dedup_minhash_lsh"] = f"""
+        WITH banded AS (
+          SELECT id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bh
+          FROM read_parquet('{FIXTURE_DIR}/minhash_sig.parquet'),
+               generate_series(0, 15) AS g(b))
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+        GROUP BY a.id, b.id"""
+
+    o["media_meta"] = (
+        f"SELECT * FROM read_parquet('{FIXTURE_DIR}/media_expected.parquet')")
 
     o["roundtrip_documents"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"
     o["roundtrip_events"] = ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "

@@ -189,7 +189,8 @@ def _dictg_decode(r: ByteReader, n: int, ctx: dict | None = None):
     esc = len(symbols)
     idx = decode_int_sub(r, n)
     n_exc = r.uvarint()
-    if int((idx == esc).sum()) != n_exc or (idx > esc).any():
+    if (int((idx == esc).sum()) != n_exc or (idx > esc).any()
+            or (len(idx) and int(idx.min()) < 0)):
         raise ValueError("dict_global: exception count/code mismatch")
     t_lens = np.fromiter((len(s) for s in symbols), dtype=np.int64, count=len(symbols))
     t_lens = np.append(t_lens, 0)  # escape rows filled below

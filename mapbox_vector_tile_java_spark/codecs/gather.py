@@ -59,7 +59,9 @@ def multi_range(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     if len(starts) > 1:
         d[heads[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
     np.cumsum(d, out=d)
-    return d
+    ro = d.view()
+    ro.setflags(write=False)  # misuse (holding across calls) fails loudly
+    return ro
 
 
 def gather_runs(pool: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

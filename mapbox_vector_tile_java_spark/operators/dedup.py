@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame, functions as F
 MERSENNE = (1 << 61) - 1
 
 
+def round_half_away(x: np.ndarray, digits: int = 6) -> np.ndarray:
+    """Round half-away-from-zero — the SQL ROUND mode (DuckDB, Spark
+    F.round), unlike numpy's half-to-even. Keeps kernel outputs bit-aligned
+    with ANSI-SQL oracles on exact decimal ties."""
+    p = 10.0 ** digits
+    y = x * p
+    return np.trunc(y + np.copysign(0.5, y)) / p
+
+
+def _bytes_view(txt: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow string/binary column -> (valid mask, per-row byte lens of
+    non-null rows, concatenated data bytes). Zero-copy views."""
+    valid = (txt.is_valid().to_numpy(zero_copy_only=False)
+             if txt.null_count else np.ones(len(txt), dtype=bool))
+    nn = txt.drop_null().cast(pa.large_binary())
+    o = np.frombuffer(nn.buffers()[1], dtype=np.int64)[nn.offset : nn.offset + len(nn) + 1]
+    data = (np.frombuffer(nn.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
+            if len(nn) else np.empty(0, dtype=np.uint8))
+    return valid, np.diff(o), data
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -95,13 +116,29 @@ def _shingle_hashes(lens: np.ndarray, data: np.ndarray, k: int) -> tuple[np.ndar
     return n_sh, h[idx]
 
 
+def minhash_kernel(lens: np.ndarray, data: np.ndarray, num_perm: int,
+                   shingle_k: int, seed: int) -> np.ndarray:
+    """(n, num_perm) uint64 minhash signature matrix — pure numpy, shared by
+    the Spark mapInArrow stage and the oracle fixture writer."""
+    a_par, b_par = _minhash_params(num_perm, seed)
+    n_sh, sh = _shingle_hashes(lens, data, shingle_k)
+    sigs = np.full((len(lens), num_perm), MERSENNE, dtype=np.uint64)
+    if len(sh):
+        bounds = np.concatenate(([0], np.cumsum(n_sh)))
+        nz = n_sh > 0
+        starts = bounds[:-1][nz]
+        for j in range(num_perm):
+            pj = (a_par[j] * sh + b_par[j]) % np.uint64(MERSENNE)
+            sigs[nz, j] = np.minimum.reduceat(pj, starts)
+    return sigs
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_perm: int = 64, shingle_k: int = 5,
                        seed: int = 42) -> DataFrame:
     """(id, sig: array<long>) — vectorized minhash over char shingles."""
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    a_par, b_par = _minhash_params(num_perm, seed)
     out_schema = StructType([
         StructField("id", LongType(), False),
         StructField("sig", ArrayType(LongType(), False), False),
@@ -110,29 +147,13 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     def fn(batches):
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            txt = batch.column(1)
-            valid = (txt.is_valid().to_numpy(zero_copy_only=False)
-                     if txt.null_count else np.ones(len(txt), dtype=bool))
-            nn = txt.drop_null().cast(pa.large_binary())
-            o = np.frombuffer(nn.buffers()[1], dtype=np.int64)[nn.offset : nn.offset + len(nn) + 1]
-            data = (np.frombuffer(nn.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
-                    if len(nn) else np.empty(0, dtype=np.uint8))
-            lens = np.diff(o)
-            n_sh, sh = _shingle_hashes(lens, data, shingle_k)
-            sigs = np.full((len(lens), num_perm), MERSENNE, dtype=np.uint64)
-            if len(sh):
-                bounds = np.concatenate(([0], np.cumsum(n_sh)))
-                nz = n_sh > 0
-                starts = bounds[:-1][nz]
-                for j in range(num_perm):
-                    pj = (a_par[j] * sh + b_par[j]) % np.uint64(MERSENNE)
-                    sigs[nz, j] = np.minimum.reduceat(pj, starts)
-            out_ids = ids[valid]
+            valid, lens, data = _bytes_view(batch.column(1))
+            sigs = minhash_kernel(lens, data, num_perm, shingle_k, seed)
             offsets = pa.array(np.arange(len(lens) + 1, dtype=np.int32) * num_perm)
             values = pa.array(sigs.view(np.int64).ravel(), type=pa.int64())
             arr = pa.ListArray.from_arrays(offsets, values)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, type=pa.int64()), arr],
+                [pa.array(ids[valid], type=pa.int64()), arr],
                 names=["id", "sig"])
 
     src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
@@ -141,21 +162,38 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 5, seed: int = 42) -> DataFrame:
+                      shingle_k: int = 5, seed: int = 42,
+                      hash_bands: bool = False,
+                      work_dir: str | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing >=1 LSH band bucket.
 
-    Scale path: the only shuffle is groupBy(band, band_hash); bucket sizes
+    Scale path: the only shuffle is the band-bucket join key; bucket sizes
     are bounded by near-duplicate cluster sizes, not corpus size. Returns
     (id_a, id_b, n_bands) distinct pairs.
+
+    Band keys default to the raw signature slice (array<long> equality —
+    exact, and what the DuckDB oracle reproduces from the signature table);
+    hash_bands=True joins on xxhash64(slice) instead, cutting the shuffle key
+    from 8*rows_per_band to 8 bytes at a vanishing (2^-64 per bucket)
+    collision risk — the right trade at 10^12 docs.
+
+    The signature stage is materialized to ``work_dir`` parquet (an explicit
+    temp table), so the self-join reads it twice from storage instead of
+    recomputing the python kernel per side or pinning an executor cache.
     """
+    import tempfile
+
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    work_dir = work_dir or tempfile.mkdtemp(prefix="mvt_minhash_")
+    sigs.write.mode("overwrite").parquet(work_dir)
+    sigs = df.sparkSession.read.parquet(work_dir)
+    key = ((lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+           if hash_bands else
+           (lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)))
     banded = sigs.select(
         "id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-        )).alias("band", "bh"),
+        F.posexplode(F.array(*[key(b) for b in range(bands)])).alias("band", "bh"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -168,6 +206,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 # ---------------------------------------------------------------------------
 # simhash
+
+def simhash_kernel(lens: np.ndarray, data: np.ndarray,
+                   shingle_k: int) -> np.ndarray:
+    """uint64 simhash per row (per-bit majority vote over shingle hashes) —
+    pure numpy, shared by the Spark stage and the oracle fixture writer."""
+    n_sh, sh = _shingle_hashes(lens, data, shingle_k)
+    fps = np.zeros(len(lens), dtype=np.uint64)
+    if len(sh):
+        bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little").astype(np.int32) * 2 - 1
+        bounds = np.concatenate(([0], np.cumsum(n_sh)))
+        nz = n_sh > 0
+        votes = np.add.reduceat(bits, bounds[:-1][nz], axis=0)
+        packed = np.packbits((votes > 0).astype(np.uint8), axis=1,
+                             bitorder="little")
+        fps[nz] = packed.view(np.uint64).ravel()
+    return fps
+
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          shingle_k: int = 4) -> DataFrame:
@@ -182,54 +238,71 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     def fn(batches):
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            txt = batch.column(1)
-            valid = (txt.is_valid().to_numpy(zero_copy_only=False)
-                     if txt.null_count else np.ones(len(txt), dtype=bool))
-            nn = txt.drop_null().cast(pa.large_binary())
-            o = np.frombuffer(nn.buffers()[1], dtype=np.int64)[nn.offset : nn.offset + len(nn) + 1]
-            data = (np.frombuffer(nn.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
-                    if len(nn) else np.empty(0, dtype=np.uint8))
-            lens = np.diff(o)
-            n_sh, sh = _shingle_hashes(lens, data, shingle_k)
-            fps = np.zeros(len(lens), dtype=np.uint64)
-            if len(sh):
-                bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1,
-                                     bitorder="little").astype(np.int32) * 2 - 1
-                bounds = np.concatenate(([0], np.cumsum(n_sh)))
-                nz = n_sh > 0
-                votes = np.add.reduceat(bits, bounds[:-1][nz], axis=0)
-                packed = np.packbits((votes > 0).astype(np.uint8), axis=1,
-                                     bitorder="little")
-                fps[nz] = packed.view(np.uint64).ravel()
+            valid, lens, data = _bytes_view(batch.column(1))
+            fps = simhash_kernel(lens, data, shingle_k)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids[valid], type=pa.int64()),
-                 pa.array(fps[: len(lens)].view(np.int64), type=pa.int64())],
+                 pa.array(fps.view(np.int64), type=pa.int64())],
                 names=["id", "simhash"])
 
     src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
     return src.mapInArrow(fn, out_schema)
 
 
-def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  max_hamming: int = 6, shingle_k: int = 4) -> DataFrame:
-    """Near-dup candidates: 4 bands of 16 bits; >=1 exact band match implies
-    hamming<=48 worst case, then exact hamming filter <= max_hamming.
+def simhash_band_exprs(n_blocks: int = 8):
+    """Composite band keys: the 64-bit fingerprint split into ``n_blocks``
+    equal blocks, one key per unordered block *pair* (C(n,2) keys).
 
-    The fingerprint stage (a python mapInArrow) is cached so the self-join
-    computes it once, not per side; degenerate fingerprint 0 (empty/too-
-    short text) is excluded from banding — at web scale those rows would
-    all land in one bucket and make the band join quadratic (skew guard,
-    same motivation as host salting in the partition planner).
+    Pigeonhole recall guarantee: hamming <= n_blocks - 2 flips bits in at
+    most n_blocks - 2 blocks, leaving >= 2 blocks identical — so some block
+    pair matches exactly and the pair is a candidate. With the default 8
+    blocks of 8 bits that guarantees every hamming<=6 pair is found (the
+    old 4x16 banding only guaranteed hamming<=3 while advertising 6).
     """
-    fp = (simhash_fingerprints(df, text_col, id_col, shingle_k)
-          .where(F.col("simhash") != 0).persist())
-    fp.count()  # materialize before the self-join forks the plan
+    assert 64 % n_blocks == 0
+    w = 64 // n_blocks
+    mask = (1 << w) - 1
+    blocks = [F.shiftright("simhash", i * w).bitwiseAND(F.lit(mask))
+              for i in range(n_blocks)]
+    return [F.shiftleft(blocks[i], w) + blocks[j]
+            for i in range(n_blocks) for j in range(i + 1, n_blocks)]
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 6, shingle_k: int = 4,
+                  work_dir: str | None = None) -> DataFrame:
+    """ALL pairs with fingerprint hamming distance <= max_hamming (exact for
+    max_hamming <= 6 by the block-pair pigeonhole — see simhash_band_exprs),
+    verified against a DuckDB all-pairs hamming join in the oracle gate.
+
+    Scale shape: the only shuffle is the band-bucket join; expected random
+    collisions per key are n^2/2^16 per band over uniform fingerprints.
+    Degenerate corpora (a huge exact-duplicate class sharing one
+    fingerprint) make the *output itself* quadratic — run exact_dedup first
+    at scale so identical texts collapse before near-dup detection.
+
+    The fingerprint stage is materialized to ``work_dir`` parquet so the
+    self-join reads it from storage twice instead of recomputing the python
+    kernel per side or pinning an executor cache for the session.
+    """
+    import tempfile
+
+    if max_hamming > 6:
+        raise ValueError("recall guarantee covers max_hamming <= 6 "
+                         "(8 blocks, pairs of blocks); got "
+                         f"{max_hamming}")
+    fp = simhash_fingerprints(df, text_col, id_col, shingle_k)
+    work_dir = work_dir or tempfile.mkdtemp(prefix="mvt_simhash_")
+    fp.write.mode("overwrite").parquet(work_dir)
+    fp = df.sparkSession.read.parquet(work_dir)
+    return simhash_pairs_from_fps(fp, max_hamming)
+
+
+def simhash_pairs_from_fps(fp: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Band join over an (id, simhash) DataFrame — see simhash_pairs."""
     banded = fp.select(
         "id", "simhash",
-        F.posexplode(F.array(*[
-            F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
-            for b in range(4)
-        ])).alias("band", "bh"))
+        F.posexplode(F.array(*simhash_band_exprs())).alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -237,82 +310,121 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                    & (F.col("a.id") < F.col("b.id")))
             .where(ham <= max_hamming)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    ham.alias("hamming"))
+                    ham.cast("long").alias("hamming"))
             .distinct())
 
 
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
-def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
-                            threshold: float = 0.95) -> DataFrame:
-    """Exact cosine pairs >= threshold.
-
-    Physical plan: broadcast the (small) normalized matrix to every task and
-    compute each partition's rows against it with a vectorized Arrow kernel
-    — the matrix analog of a broadcast-nested-loop join, with no O(n^2)
-    shuffle. Accumulation is dimension-sequential (a 64-step vectorized
-    loop), i.e. the same left-to-right fold as the ANSI-SQL oracle, so
-    rounded values match bit-for-bit. For tables too big to broadcast, the
-    scale path is LSH/IVF bucketing (minhash_lsh_pairs / similarity.ivf_topk).
-    """
-    import pyarrow as pa
-
-    spark = df.sparkSession
-    d = (df.select(F.col(id_col).cast("long").alias("id"),
-                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")))
-    # one collect of the normalized matrix (broadcast-small-side pattern)
-    mat_tbl = d.toArrow()
-    ids = mat_tbl.column("id").to_numpy(zero_copy_only=False)
-    flat = mat_tbl.column("v").combine_chunks()
-    dim = len(flat[0]) if len(flat) else 0
-    M = np.asarray(flat.flatten().to_numpy(zero_copy_only=False),
-                   dtype=np.float64).reshape(len(ids), dim)
-    # sequential-over-dims norm: matches sqrt(fold(x*x)) exactly
-    acc = np.zeros(len(ids))
-    for kdim in range(dim):
+def _norms_seq(M: np.ndarray) -> np.ndarray:
+    """Dimension-sequential L2 norms — the same left-to-right fold as the
+    ANSI-SQL oracle's sqrt(list_sum(x*x)), so values match bit-for-bit."""
+    acc = np.zeros(len(M))
+    for kdim in range(M.shape[1]):
         acc += M[:, kdim] * M[:, kdim]
-    nrm = np.sqrt(acc)
-    keep = nrm > 0
-    ids, M, nrm = ids[keep], M[keep], nrm[keep]
-    bc = spark.sparkContext.broadcast((ids, M, nrm))
+    return np.sqrt(acc)
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                            threshold: float = 0.95,
+                            block_rows: int = 4096) -> DataFrame:
+    """Exact cosine pairs >= threshold — fully distributed block-matrix plan.
+
+    Physical plan: vectors are grouped into B = ceil(n/block_rows) blocks by
+    id hash; each block is packed into ONE row holding (ids, row-major f64
+    matrix bytes). The B(B+1)/2 unordered block pairs are enumerated by a
+    self-join on block id, and an Arrow kernel computes each pair's dense
+    cosine sub-matrix. Nothing is ever collected to the driver, and peak
+    task memory is two blocks plus a sub-chunked score matrix. Exact
+    all-pairs is inherently O(n^2) work — this shape distributes it evenly
+    across B^2/2 tasks; the sub-quadratic scale paths are minhash_lsh_pairs
+    and similarity.ivf_topk.
+
+    Fold-order/rounding discipline: norms and dots accumulate
+    dimension-sequentially (the SQL left-to-right fold) and rounding is
+    half-away-from-zero (SQL ROUND), so rounded cosines match the ANSI
+    oracle bit-for-bit. Null vectors are dropped (the oracle's nrm > 0
+    predicate is NULL-false there); ragged dimensions raise.
+    """
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import (BinaryType, IntegerType, StructField,
+                                   StructType)
+
+    d = (df.where(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).cast("long").alias("id"),
+                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")))
+    n = d.count()
+    n_blocks = max(1, -(-n // block_rows))
+
+    pack_schema = StructType([
+        StructField("b", IntegerType(), False),
+        StructField("ids", BinaryType(), False),
+        StructField("mat", BinaryType(), False),
+    ])
+
+    def pack(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        rows = [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+        dims = {len(r) for r in rows}
+        if len(dims) > 1:
+            raise ValueError(f"ragged embedding dimensions in block: {sorted(dims)}")
+        M = np.stack(rows) if rows else np.empty((0, 0))
+        return pd.DataFrame({"b": [int(pdf["b"].iloc[0])],
+                             "ids": [ids.tobytes()], "mat": [M.tobytes()]})
+
+    blocks = (d.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+                .groupBy("b").applyInPandas(pack, pack_schema))
+
+    x, y = blocks.alias("x"), blocks.alias("y")
+    joined = x.join(y, F.col("x.b") <= F.col("y.b")).select(
+        F.col("x.b").alias("bx"), F.col("x.ids").alias("ids_x"),
+        F.col("x.mat").alias("mat_x"),
+        F.col("y.b").alias("by"), F.col("y.ids").alias("ids_y"),
+        F.col("y.mat").alias("mat_y"))
 
     out_schema = pa.schema([pa.field("id_a", pa.int64()),
                             pa.field("id_b", pa.int64()),
                             pa.field("cosine", pa.float64())])
 
     def pairs(batches):
-        g_ids, g_m, g_nrm = bc.value
         for b in batches:
-            bid = b.column("id").to_numpy(zero_copy_only=False)
-            fl = b.column("v")
-            if len(fl) == 0:
-                continue
-            bm = np.asarray(pa.chunked_array([fl]).combine_chunks().flatten()
-                            .to_numpy(zero_copy_only=False),
-                            dtype=np.float64).reshape(len(bid), -1)
-            a2 = np.zeros(len(bid))
-            for kdim in range(bm.shape[1]):
-                a2 += bm[:, kdim] * bm[:, kdim]
-            bnrm = np.sqrt(a2)
-            ok = bnrm > 0
-            bid, bm, bnrm = bid[ok], bm[ok], bnrm[ok]
-            # sub-chunk so the score matrix stays ~16MB regardless of batch
-            step = max(1, (1 << 21) // max(len(g_ids), 1))
-            for s in range(0, len(bid), step):
-                cb_id, cb_m, cb_n = bid[s:s+step], bm[s:s+step], bnrm[s:s+step]
-                # dimension-sequential accumulation == left-to-right fold
-                dots = np.zeros((len(cb_id), len(g_ids)))
-                for kdim in range(cb_m.shape[1]):
-                    dots += cb_m[:, kdim : kdim + 1] * g_m[:, kdim][None, :]
-                cos = np.round(dots / (cb_n[:, None] * g_nrm[None, :]), 6)
-                ai, bi = np.nonzero((cos >= threshold)
-                                    & (cb_id[:, None] < g_ids[None, :]))
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(cb_id[ai], type=pa.int64()),
-                     pa.array(g_ids[bi], type=pa.int64()),
-                     pa.array(cos[ai, bi], type=pa.float64())], schema=out_schema)
+            for i in range(b.num_rows):
+                ids_x = np.frombuffer(b.column("ids_x")[i].as_py(), dtype=np.int64)
+                ids_y = np.frombuffer(b.column("ids_y")[i].as_py(), dtype=np.int64)
+                if not (len(ids_x) and len(ids_y)):
+                    continue
+                Mx = np.frombuffer(b.column("mat_x")[i].as_py(),
+                                   dtype=np.float64).reshape(len(ids_x), -1)
+                My = np.frombuffer(b.column("mat_y")[i].as_py(),
+                                   dtype=np.float64).reshape(len(ids_y), -1)
+                nx, ny = _norms_seq(Mx), _norms_seq(My)
+                kx, ky = nx > 0, ny > 0
+                ids_x2, Mx2, nx2 = ids_x[kx], Mx[kx], nx[kx]
+                ids_y2, My2, ny2 = ids_y[ky], My[ky], ny[ky]
+                diag = int(b.column("bx")[i].as_py()) == int(b.column("by")[i].as_py())
+                # sub-chunk the x side so the score matrix stays ~16MB
+                step = max(1, (1 << 21) // max(len(ids_y2), 1))
+                for s in range(0, len(ids_x2), step):
+                    ci, cm, cn = (ids_x2[s:s+step], Mx2[s:s+step], nx2[s:s+step])
+                    dots = np.zeros((len(ci), len(ids_y2)))
+                    for kdim in range(cm.shape[1]):
+                        dots += cm[:, kdim : kdim + 1] * My2[:, kdim][None, :]
+                    cos = round_half_away(dots / (cn[:, None] * ny2[None, :]), 6)
+                    hit = cos >= threshold
+                    if diag:
+                        hit &= ci[:, None] < ids_y2[None, :]
+                    else:
+                        hit &= ci[:, None] != ids_y2[None, :]
+                    ai, bi = np.nonzero(hit)
+                    id_a = np.minimum(ci[ai], ids_y2[bi])
+                    id_b = np.maximum(ci[ai], ids_y2[bi])
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(id_a, type=pa.int64()),
+                         pa.array(id_b, type=pa.int64()),
+                         pa.array(cos[ai, bi], type=pa.float64())],
+                        schema=out_schema)
 
-    from pyspark.sql.pandas.types import from_arrow_schema
-
-    return d.mapInArrow(pairs, from_arrow_schema(out_schema))
+    return joined.mapInArrow(pairs, from_arrow_schema(out_schema))

@@ -207,12 +207,21 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
         if sample is None:
             sample = collect_sample(df)
         o2, symtabs, plan_note = plan_from_sample(sample, skip=set(overrides))
-        for col, (cname, params) in list(overrides.items()):
-            # caller-supplied global-dict overrides also need their symbols
-            # persisted for decode
-            if cname == "dict_global" and isinstance(params, dict):
-                symtabs[params["symtab_id"]] = params["symbols"]
         overrides.update(o2)
+
+    # caller-supplied global-codec overrides also need their symbols
+    # persisted for decode — regardless of plan mode (a plan="block" table
+    # whose blobs reference an unpersisted symtab_id would be undecodable)
+    for col, (cname, params) in list(overrides.items()):
+        if cname in ("dict_global", "fsst_global", "tok_dict") and isinstance(params, dict):
+            sid = params.get("symtab_id")
+            if sid is None:
+                raise ValueError(
+                    f"global codec override for column {col!r} needs a "
+                    f"'symtab_id' param so its symbols can be persisted")
+            if sid not in symtabs:
+                symtabs[sid] = (params["symbols"] if cname == "dict_global"
+                                else list(params["fsst_table"].symbols))
 
     M.write_meta(out_dir, schema, symtabs,
                  {"note": config_note or {}, "plan": plan_note,

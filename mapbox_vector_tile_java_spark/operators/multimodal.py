@@ -24,6 +24,52 @@ MAGIC = b"FMV1"
 KINDS = ["image", "audio", "video"]
 
 
+def synth_media_batch(ids: np.ndarray, seed: int = 42) -> pa.RecordBatch:
+    """One batch of the deterministic synthetic media table — a pure
+    function of (row ids, seed), shared by the Spark generator and the
+    oracle fixture writer."""
+    from ..sources.webtext import _hash
+
+    n = len(ids)
+    h = _hash(ids.astype(np.uint64), 21, seed)
+    kind = (h % np.uint64(3)).astype(np.uint8)
+    w = (64 + (h >> np.uint64(8)) % np.uint64(512)).astype(np.uint16)
+    ht = (64 + (h >> np.uint64(24)) % np.uint64(512)).astype(np.uint16)
+    fr = (1 + (h >> np.uint64(40)) % np.uint64(32)).astype(np.uint16)
+    payload_len = (64 + (h >> np.uint64(48)) % np.uint64(192)).astype(np.int64)
+    head = np.zeros((n, 11), dtype=np.uint8)
+    head[:, 0:4] = np.frombuffer(MAGIC, np.uint8)
+    head[:, 4] = kind
+    head[:, 5:7] = w[:, None].view(np.uint8).reshape(n, 2)
+    head[:, 7:9] = ht[:, None].view(np.uint8).reshape(n, 2)
+    head[:, 9:11] = fr[:, None].view(np.uint8).reshape(n, 2)
+    total = int(payload_len.sum())
+    # payload keyed by (row id, in-payload position): deterministic
+    # regardless of batch/partition composition
+    p_ofs = np.concatenate(([0], np.cumsum(payload_len)))[:-1]
+    flat_id = np.repeat(ids.astype(np.uint64), payload_len)
+    flat_pos = (np.arange(total) - np.repeat(p_ofs, payload_len)).astype(np.uint64)
+    pay = (_hash(flat_id * np.uint64(997) + flat_pos, 22, seed)
+           & np.uint64(0xFF)).astype(np.uint8)
+    lens = 11 + payload_len
+    data = np.empty(int(lens.sum()), dtype=np.uint8)
+    ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    hidx = (ofs[:, None] + np.arange(11)[None, :]).ravel()
+    data[hidx] = head.ravel()
+    from ..codecs.gather import multi_range
+
+    data[multi_range(ofs + 11, payload_len)] = pay
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    offsets = offsets.astype(np.int32)
+    arr = pa.Array.from_buffers(pa.binary(), n,
+                                [None, pa.py_buffer(offsets.tobytes()),
+                                 pa.py_buffer(data.tobytes())], null_count=0)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(ids.astype(np.int64), type=pa.int64()), arr],
+        names=["media_id", "media"])
+
+
 def synth_media_df(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
     """Deterministic synthetic media table: (media_id long, media binary)."""
     from pyspark.sql.types import (BinaryType, LongType, StructField,
@@ -35,47 +81,9 @@ def synth_media_df(spark, n_rows: int, seed: int = 42, partitions: int | None = 
     ])
 
     def gen(batches):
-        from ..sources.webtext import _hash
-
         for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            n = len(ids)
-            h = _hash(ids.view(np.uint64), 21, seed)
-            kind = (h % np.uint64(3)).astype(np.uint8)
-            w = (64 + (h >> np.uint64(8)) % np.uint64(512)).astype(np.uint16)
-            ht = (64 + (h >> np.uint64(24)) % np.uint64(512)).astype(np.uint16)
-            fr = (1 + (h >> np.uint64(40)) % np.uint64(32)).astype(np.uint16)
-            payload_len = (64 + (h >> np.uint64(48)) % np.uint64(192)).astype(np.int64)
-            head = np.zeros((n, 11), dtype=np.uint8)
-            head[:, 0:4] = np.frombuffer(MAGIC, np.uint8)
-            head[:, 4] = kind
-            head[:, 5:7] = w[:, None].view(np.uint8).reshape(n, 2)
-            head[:, 7:9] = ht[:, None].view(np.uint8).reshape(n, 2)
-            head[:, 9:11] = fr[:, None].view(np.uint8).reshape(n, 2)
-            total = int(payload_len.sum())
-            # payload keyed by (row id, in-payload position): deterministic
-            # regardless of batch/partition composition
-            p_ofs = np.concatenate(([0], np.cumsum(payload_len)))[:-1]
-            flat_id = np.repeat(ids, payload_len)
-            flat_pos = (np.arange(total) - np.repeat(p_ofs, payload_len)).astype(np.uint64)
-            pay = (_hash(flat_id * np.uint64(997) + flat_pos, 22, seed)
-                   & np.uint64(0xFF)).astype(np.uint8)
-            lens = 11 + payload_len
-            data = np.empty(int(lens.sum()), dtype=np.uint8)
-            ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            hidx = (ofs[:, None] + np.arange(11)[None, :]).ravel()
-            data[hidx] = head.ravel()
-            from ..codecs.gather import multi_range
-
-            data[multi_range(ofs + 11, payload_len)] = pay
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lens, out=offsets[1:])
-            offsets = offsets.astype(np.int32)
-            arr = pa.Array.from_buffers(pa.binary(), n,
-                                        [None, pa.py_buffer(offsets.tobytes()),
-                                         pa.py_buffer(data.tobytes())], null_count=0)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()), arr], names=["media_id", "media"])
+            yield synth_media_batch(
+                b.column(0).to_numpy(zero_copy_only=False), seed)
 
     rng = spark.range(0, n_rows, numPartitions=partitions
                       or spark.sparkContext.defaultParallelism)

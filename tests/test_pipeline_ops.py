@@ -50,9 +50,44 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
 
 def test_simhash_finds_planted_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"])
-             for r in D.simhash_pairs(docs, "text", "doc_id", max_hamming=8).collect()}
+             for r in D.simhash_pairs(docs, "text", "doc_id", max_hamming=6).collect()}
     assert (100, 101) in pairs or (100, 102) in pairs
     assert (200, 201) in pairs
+
+
+def test_simhash_rejects_unguaranteed_radius(spark, docs):
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def test_simhash_banding_guarantees_hamming_6(spark):
+    """Pigeonhole recall: every planted pair at hamming 4/5/6 (the distances
+    the old 4x16 banding could miss) MUST surface, and nothing above 6 may."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 63, 30, dtype=np.int64)
+    rows = [Row(id=int(i), simhash=int(v)) for i, v in enumerate(base)]
+    expected = set()
+    for j, flips in enumerate([4, 5, 6, 4, 5, 6, 7, 9]):
+        v = int(base[j])
+        for bit in rng.choice(64, size=flips, replace=False):
+            v ^= 1 << int(bit)
+        rows.append(Row(id=1000 + j, simhash=v))
+        if flips <= 6:
+            expected.add((j, 1000 + j))
+    fp = spark.createDataFrame(rows)
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in D.simhash_pairs_from_fps(fp, max_hamming=6).collect()}
+    for pair in expected:
+        assert pair in out, f"missed guaranteed pair {pair}"
+    assert all(h <= 6 for h in out.values())
+    # exactness the other way: brute-force reference agrees completely
+    all_fp = {r["id"]: r["simhash"] for r in rows}
+    brute = {(a, b): bin((all_fp[a] ^ all_fp[b]) & (2**64 - 1)).count("1")
+             for a in all_fp for b in all_fp if a < b
+             if bin((all_fp[a] ^ all_fp[b]) & (2**64 - 1)).count("1") <= 6}
+    assert out == brute
 
 
 def test_ngram_jaccard_exact(spark, docs):
@@ -76,6 +111,51 @@ def vectors(spark):
     v0 = rows[0].embedding
     rows.append(Row(vec_id=99, embedding=[x + 0.01 for x in v0]))
     return spark.createDataFrame(rows)
+
+
+def test_embedding_neardup_matches_bruteforce(spark, vectors):
+    """Block-pair distributed plan == local numpy brute force (same fold
+    order + SQL rounding), across several blocks so diagonal and cross
+    block-pair paths both run. Also: nulls dropped, no driver collect."""
+    import numpy as np
+
+    rows = vectors.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = D._norms_seq(M)
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                dot = 0.0
+                for k in range(M.shape[1]):
+                    dot += M[i, k] * M[j, k]
+                cos = float(D.round_half_away(np.array([dot / (nrm[i] * nrm[j])]))[0])
+                if cos >= 0.2:
+                    exp[(int(ids[i]), int(ids[j]))] = cos
+    with_null = vectors.union(spark.createDataFrame(
+        [Row(vec_id=500, embedding=None)], schema=vectors.schema))
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in D.embedding_neardup_pairs(with_null, "embedding", "vec_id",
+                                              threshold=0.2, block_rows=8).collect()}
+    assert out == exp
+
+
+def test_embedding_neardup_ragged_raises(spark):
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 2.0]),
+                                Row(vec_id=1, embedding=[1.0, 2.0, 3.0])])
+    with pytest.raises(Exception, match="ragged"):
+        D.embedding_neardup_pairs(df, "embedding", "vec_id",
+                                  threshold=0.0, block_rows=100).collect()
+
+
+def test_minhash_hash_bands_equivalent(spark, docs):
+    exact = {(r["id_a"], r["id_b"], r["n_bands"])
+             for r in D.minhash_lsh_pairs(docs, "text", "doc_id").collect()}
+    hashed = {(r["id_a"], r["id_b"], r["n_bands"])
+              for r in D.minhash_lsh_pairs(docs, "text", "doc_id",
+                                           hash_bands=True).collect()}
+    assert exact == hashed
 
 
 def test_brute_force_topk(spark, vectors):
