@@ -20,7 +20,16 @@ MvtUtil.java:157-164):
     [ver=1][n varint][null_count varint]
     [validity bitmap ceil(n/8) bytes, LSB-first, iff 0 < null_count < n]
     [codec_id byte][codec payload]              (INT / BYTES shapes)
-    [lengths int-sub][child envelope section]   (LIST shape)
+    [lengths int-sub][child envelope section]   (LIST / MAP shape)
+    [per field: varint(len) + child envelope]   (STRUCT shape; field count
+                                                 and order fixed by the
+                                                 schema, like protobuf tags)
+
+Struct children are encoded for non-null struct rows only (their own nulls
+nest recursively); a map is wire-identical to list<struct<key,value>> and is
+rebuilt as a MapArray on decode. This is the typed-union generalization the
+reference's Value oneof + tag pairs imply (vector_tile.proto:23-34,44;
+MvtUtil.java:171-239): arbitrary nesting of the scalar shapes.
 
 Nulls are carried in the envelope, values encoded for non-null slots only —
 mirroring protobuf oneof absent-field semantics (vector_tile.proto:23-34):
@@ -75,6 +84,10 @@ def supported(t: pa.DataType) -> bool:
         return True
     if _is_listlike(t):
         return supported(t.value_type)
+    if pa.types.is_struct(t):
+        return all(supported(f.type) for f in t)
+    if pa.types.is_map(t):
+        return supported(t.key_type) and supported(t.item_type)
     return False
 
 
@@ -169,6 +182,12 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
+    if pa.types.is_map(t):
+        # wire-identical to list<struct<key,value>> (decode rebuilds the map)
+        lst = arr.cast(pa.list_(pa.struct([t.key_field, t.item_field])))
+        blob, meta = encode_column(lst, codec, params)
+        meta["codec"] = f"map({meta['codec']})"
+        return blob, meta
     n = len(arr)
     params = dict(params or {})
     valid = (arr.is_valid().to_numpy(zero_copy_only=False)
@@ -229,6 +248,15 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
         parts.append(varint_encode_one(len(child_blob)))
         parts.append(child_blob)
         name = f"list({child_meta['codec']})"
+    elif pa.types.is_struct(t):
+        sub = []
+        for i in range(t.num_fields):
+            child_blob, child_meta = encode_column(nn.field(i), codec, params)
+            crc = zlib.crc32(child_meta["content_crc"].to_bytes(8, "little"), crc)
+            parts.append(varint_encode_one(len(child_blob)))
+            parts.append(child_blob)
+            sub.append(child_meta["codec"])
+        name = f"struct({','.join(sub)})"
     else:
         raise TypeError(f"unsupported column type: {t}")
 
@@ -257,6 +285,8 @@ def content_crc(arr: pa.Array | pa.ChunkedArray) -> int:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
+    if pa.types.is_map(t):
+        return content_crc(arr.cast(pa.list_(pa.struct([t.key_field, t.item_field]))))
     n = len(arr)
     valid = (arr.is_valid().to_numpy(zero_copy_only=False)
              if arr.null_count else np.ones(n, dtype=bool))
@@ -278,6 +308,9 @@ def content_crc(arr: pa.Array | pa.ChunkedArray) -> int:
         lens = np.diff(o)
         crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
         crc = zlib.crc32(content_crc(flat).to_bytes(8, "little"), crc)
+    elif pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            crc = zlib.crc32(content_crc(nn.field(i)).to_bytes(8, "little"), crc)
     else:
         raise TypeError(f"unsupported column type: {t}")
     return crc & 0xFFFFFFFFFFFFFFFF
@@ -316,11 +349,14 @@ def _decode_from(r: ByteReader, t: pa.DataType, ctx: dict | None) -> pa.Array:
         spec = by_id(int(r.take(1)[0]))
         lens, data = spec.decode(r, nn, ctx or {})
         return _build_varbin(t, lens, np.asarray(data), valid)
-    if _is_listlike(t):
+    if _is_listlike(t) or pa.types.is_map(t):
+        is_map = pa.types.is_map(t)
+        value_t = (pa.struct([t.key_field, t.item_field]) if is_map
+                   else t.value_type)
         lens = decode_int_sub(r, nn)
         child_len = r.uvarint()
         child_r = ByteReader(r.take(child_len))
-        child = _decode_from(child_r, t.value_type, ctx)
+        child = _decode_from(child_r, value_t, ctx)
         child_r.expect_end()
         full_lens = np.zeros(n, dtype=np.int64)
         full_lens[valid] = lens
@@ -334,4 +370,21 @@ def _decode_from(r: ByteReader, t: pa.DataType, ctx: dict | None) -> pa.Array:
             t, n, [vbuf, pa.py_buffer(offsets.tobytes())],
             null_count=nulls, children=[child],
         )
+    if pa.types.is_struct(t):
+        children = []
+        for i in range(t.num_fields):
+            child_len = r.uvarint()
+            child_r = ByteReader(r.take(child_len))
+            c = _decode_from(child_r, t.field(i).type, ctx)
+            child_r.expect_end()
+            children.append(c)
+        nulls = n - nn
+        if nulls:
+            # children were encoded for non-null struct rows only; scatter
+            # them back to full length (null indices yield null slots)
+            idx = pa.array(np.cumsum(valid, dtype=np.int64) - 1, mask=~valid)
+            children = [c.take(idx) for c in children]
+            return pa.StructArray.from_arrays(children, fields=list(t),
+                                              mask=pa.array(~valid))
+        return pa.StructArray.from_arrays(children, fields=list(t))
     raise TypeError(f"unsupported column type: {t}")

@@ -39,16 +39,26 @@ def detect_hot_keys(df: DataFrame, key, n_parts: int,
         fraction = min(1.0, sample_rows / total_hint)
         sample = (df.sample(fraction=fraction, seed=SAMPLE_SEED)
                   if fraction < 1.0 else df)
+        top = (sample.groupBy(key.alias("k")).count()
+               .orderBy(F.desc("count"), F.asc("k")).limit(64).collect())
+        counts = [(r["k"], r["count"]) for r in top]
     else:
-        sample = df.limit(sample_rows)
-    top = (sample.groupBy(key.alias("k")).count()
-           .orderBy(F.desc("count"), F.asc("k")).limit(64).collect())
-    n_sampled = max(sum(r["count"] for r in top), 1)  # lower bound on sample size
+        # strided per-partition head sample (deterministic for a given
+        # input+partitioning, unlike a global limit whose surviving rows
+        # depend on task completion order)
+        from .codec_plan import collect_sample
+
+        tbl = collect_sample(df.select(key.alias("k")),
+                             rows_per_part=max(1, sample_rows // 16))
+        vc = tbl.column("k").combine_chunks().value_counts().to_pylist()
+        counts = sorted(((it["values"], it["counts"]) for it in vc),
+                        key=lambda x: (-x[1], str(x[0])))[:64]
+    n_sampled = max(sum(c for _, c in counts), 1)  # lower bound on sample size
     out: dict[str, int] = {}
-    for r in top:
-        frac = r["count"] / n_sampled
-        if r["k"] is not None and frac > frac_threshold:
-            out[r["k"]] = max(2, int(frac / frac_threshold) + 1)
+    for kval, cnt in counts:
+        frac = cnt / n_sampled
+        if kval is not None and frac > frac_threshold:
+            out[kval] = max(2, int(frac / frac_threshold) + 1)
     return out
 
 

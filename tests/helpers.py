@@ -29,5 +29,11 @@ def assert_bit_equal(a: pa.Array, b: pa.Array) -> None:
         lb = pa.compute.list_value_length(bn).to_numpy(zero_copy_only=False)
         np.testing.assert_array_equal(la, lb)
         assert_bit_equal(an.flatten(), bn.flatten())
+    elif pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            assert_bit_equal(an.field(i), bn.field(i))
+    elif pa.types.is_map(t):
+        lt = pa.list_(pa.struct([t.key_field, t.item_field]))
+        assert_bit_equal(an.cast(lt), bn.cast(lt))
     else:
         assert an.equals(bn), f"value mismatch for {t}: {an[:5]} vs {bn[:5]}"

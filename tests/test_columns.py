@@ -49,6 +49,29 @@ CASES = {
     "no_nulls_str": pa.array(["a", "b", "a", "a"], type=pa.string()),
     "null_vs_empty": pa.array([None, "", None, "", "x"], type=pa.string()),
     "dups": pa.array(["same", "same", "same", "same"], type=pa.string()),
+    "struct": pa.array(
+        [{"a": 1, "b": "x"}, None, {"a": None, "b": ""}, {"a": -7, "b": None}],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    "struct_nested": pa.array(
+        [{"m": {"q": 1.5}, "l": [1, 2], "s": "t"},
+         {"m": None, "l": None, "s": None},
+         None,
+         {"m": {"q": None}, "l": [], "s": "u"}],
+        type=pa.struct([("m", pa.struct([("q", pa.float64())])),
+                        ("l", pa.list_(pa.int32())),
+                        ("s", pa.string())])),
+    "struct_all_null_field": pa.array(
+        [{"a": None, "b": 1}, {"a": None, "b": 2}],
+        type=pa.struct([("a", pa.string()), ("b", pa.int64())])),
+    "list_struct": pa.array(
+        [[{"k": 1}, {"k": None}], None, [], [{"k": 9}]],
+        type=pa.list_(pa.struct([("k", pa.int64())]))),
+    "map_str_i64": pa.array(
+        [[("a", 1), ("b", 2)], None, [], [("c", None)], [("a", 3)]],
+        type=pa.map_(pa.string(), pa.int64())),
+    "map_ts": pa.array(
+        [[("x", 1_700_000_000_000_000)], []],
+        type=pa.map_(pa.string(), pa.timestamp("us"))),
 }
 
 

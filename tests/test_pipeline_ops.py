@@ -174,6 +174,36 @@ def test_ivf_recall_vs_brute(spark, vectors):
     assert len(brute & ivf) >= len(brute) * 0.5
 
 
+def test_ivf_index_persisted_and_reused(spark, vectors, tmp_path):
+    """build once -> ivf_topk twice reuses the on-disk index (no retrain:
+    centroids file mtime unchanged), and results are deterministic."""
+    import os
+
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(vectors, "embedding", "vec_id", idx, n_centroids=4)
+    cpath = os.path.join(idx, "centroids.parquet")
+    mtime = os.path.getmtime(cpath)
+    r1 = S.ivf_topk(vectors, "embedding", "vec_id", [0, 1], k=5,
+                    n_centroids=4, n_probe=3, index_dir=idx).collect()
+    r2 = S.ivf_topk(vectors, "embedding", "vec_id", [0, 1], k=5,
+                    n_centroids=4, n_probe=3, index_dir=idx).collect()
+    assert os.path.getmtime(cpath) == mtime  # never rebuilt
+    assert sorted(map(str, r1)) == sorted(map(str, r2))
+    assert len(r1) == 10
+
+
+def test_ivf_deterministic_across_partitionings(spark, vectors, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    S.build_ivf_index(vectors.repartition(7), "embedding", "vec_id", a, n_centroids=4)
+    S.build_ivf_index(vectors.repartition(2), "embedding", "vec_id", b, n_centroids=4)
+    ra = sorted(map(str, spark.read.parquet(a + "/assignments")
+                    .select("nid", "bucket").collect()))
+    rb = sorted(map(str, spark.read.parquet(b + "/assignments")
+                    .select("nid", "bucket").collect()))
+    assert ra == rb
+
+
 def test_media_meta_plumbing(spark):
     df = synth_media_df(spark, 500, seed=1, partitions=2)
     meta = decode_media_meta(df)
