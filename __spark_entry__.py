@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "text", "doc_id")
     q["doc_fingerprints"] = lambda s, d: T.fingerprint(
         _read(s, d, "documents"), "text", "doc_id")
+    q["doc_fingerprints_rolling"] = lambda s, d: T.fingerprint_rolling(
+        _read(s, d, "documents"), "text", "doc_id")
 
     # -- dedup family
     q["dedup_exact"] = lambda s, d: D.exact_dedup(
@@ -560,13 +562,26 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'fr' END AS lang_pred
         FROM h"""
 
-    grams8 = ("list_transform(range(1, greatest(length(text) - 7, 0) + 1), "
+    grams8 = ("list_transform(range(1, greatest(length(text) - 7, 0) + 1, 4), "
               "i -> md5(substring(text, i, 8)))")
     o["doc_fingerprints"] = f"""
         SELECT doc_id, md5(text) AS md5_full,
                CASE WHEN length(text) >= 8 THEN list_min({grams8}) ELSE NULL END
                  AS min_gram_md5
         FROM documents"""
+
+    o["doc_fingerprints_rolling"] = """
+        SELECT doc_id AS id,
+               CASE WHEN length(text) >= 8 THEN
+                 list_min(list_transform(range(1, length(text) - 8 + 2),
+                   i -> list_reduce(
+                          list_transform(range(0, 8),
+                                         j -> unicode(substring(text, i + j, 1))),
+                          (acc, c) -> (CAST(acc AS BIGINT) * 1000003 + c)
+                                       % 2147483647)))
+               ELSE NULL END AS min_gram_hash,
+               greatest(length(text) - 7, 0) AS n_grams
+        FROM documents WHERE text IS NOT NULL"""
 
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 

@@ -133,9 +133,10 @@ def main():
         "q1_pricing_summary", "stats_lang_hist", "window_user_deltas",
         "join_orders_customers", "agg_source_stats", "text_token_stats",
         "text_quality", "lang_id_stopwords", "doc_fingerprints",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine", "ann_bruteforce_topk", "ann_ivf_topk",
-        "roundtrip_lineitem", "roundtrip_events",
+        "doc_fingerprints_rolling", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_embedding_cosine", "ann_bruteforce_topk",
+        "ann_ivf_topk", "ann_ivf_recall", "roundtrip_lineitem",
+        "roundtrip_events", "roundtrip_struct_props",
     ]
     for name in suite:
         timed(name, lambda name=name: qs[name](spark, SF_DIR)

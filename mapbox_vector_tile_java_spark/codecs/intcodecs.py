@@ -299,6 +299,92 @@ def huff_size(a: np.ndarray) -> int:
     return huffman.encoded_size(a)
 
 
+# ---------------------------------------------------------------------------
+# byte-plane transpose + per-plane {raw, rle, const} — the float-targeted
+# stage: floats canonicalize to int64 bit views (columns.py), where float32
+# sign-extension makes planes 4-7 constant and double sign/exponent planes
+# are low-entropy runs. Also wins on narrow-range ints with byte-aligned
+# structure. Each plane independently picks its smallest encoding by exact
+# size (same stats-then-choose discipline as the reference's JtsGeomStats).
+
+_BP_RAW, _BP_RLE, _BP_CONST = 0, 1, 2
+
+
+def _byteplanes(a: np.ndarray) -> np.ndarray:
+    """(n, 8) uint8 view of the little-endian bytes of each value."""
+    return np.ascontiguousarray(a, dtype="<i8").view(np.uint8).reshape(-1, 8)
+
+
+def _plane_encode(p: np.ndarray) -> bytes:
+    n = len(p)
+    if n and int(p.min()) == int(p.max()):
+        return bytes([_BP_CONST, int(p[0])])
+    values, lengths = _runs(p.astype(np.int64))
+    rle_sz = (len(varint_encode_one(len(values)))
+              + int(varint_byte_lengths(lengths.astype(np.uint64)).sum())
+              + len(values))
+    if rle_sz < n:
+        parts: list[bytes] = [bytes([_BP_RLE])]
+        put_uvarint(parts, len(values))
+        parts.append(varint_encode(lengths.astype(np.uint64)))
+        parts.append(values.astype(np.uint8).tobytes())
+        return b"".join(parts)
+    return bytes([_BP_RAW]) + p.tobytes()
+
+
+def _plane_decode(r: ByteReader, n: int) -> np.ndarray:
+    tag = int(r.take(1)[0])
+    if tag == _BP_CONST:
+        return np.full(n, int(r.take(1)[0]), dtype=np.uint8)
+    if tag == _BP_RLE:
+        nruns = r.uvarint()
+        lengths = r.uvarints(nruns).astype(np.int64)
+        values = np.asarray(r.take(nruns), dtype=np.uint8)
+        out = np.repeat(values, lengths)
+        if len(out) != n:
+            raise ValueError(f"byteplane RLE decoded {len(out)}, expected {n}")
+        return out
+    if tag == _BP_RAW:
+        return np.asarray(r.take(n), dtype=np.uint8)
+    raise ValueError(f"byteplane: unknown plane tag {tag}")
+
+
+def _byteplane_encode(a: np.ndarray, params: dict) -> bytes:
+    if len(a) == 0:
+        return b""
+    B = _byteplanes(a)
+    return b"".join(_plane_encode(np.ascontiguousarray(B[:, p]))
+                    for p in range(8))
+
+
+def _byteplane_decode(r: ByteReader, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty((n, 8), dtype=np.uint8)
+    for p in range(8):
+        out[:, p] = _plane_decode(r, n)
+    return out.view("<i8").ravel().astype(np.int64, copy=False)
+
+
+def byteplane_size(a: np.ndarray) -> int:
+    if len(a) == 0:
+        return 0
+    B = _byteplanes(a)
+    n = len(a)
+    total = 0
+    for p in range(8):
+        col = np.ascontiguousarray(B[:, p])
+        if int(col.min()) == int(col.max()):
+            total += 2
+            continue
+        values, lengths = _runs(col.astype(np.int64))
+        rle_sz = (len(varint_encode_one(len(values)))
+                  + int(varint_byte_lengths(lengths.astype(np.uint64)).sum())
+                  + len(values))
+        total += 1 + min(rle_sz, n)
+    return total
+
+
 RAW_INT = register(CodecSpec("raw_int", 0x01, SHAPE_INT, _raw_encode, _raw_decode))
 CONST_INT = register(CodecSpec("const_int", 0x02, SHAPE_INT, _const_encode, _const_decode))
 RLE_INT = register(CodecSpec("rle_int", 0x03, SHAPE_INT, _rle_encode, _rle_decode))
@@ -307,3 +393,4 @@ FOR_DELTA = register(CodecSpec("for_delta", 0x05, SHAPE_INT, _delta_encode, _del
 DICT_INT = register(CodecSpec("dict_int", 0x06, SHAPE_INT, _dict_encode, _dict_decode))
 VARINT_INT = register(CodecSpec("varint_int", 0x07, SHAPE_INT, _varint_int_encode, _varint_int_decode))
 HUFF_INT = register(CodecSpec("huff_int", 0x08, SHAPE_INT, _huff_encode, _huff_decode))
+BYTEPLANE = register(CodecSpec("byteplane", 0x09, SHAPE_INT, _byteplane_encode, _byteplane_decode))

@@ -14,7 +14,8 @@ import numpy as np
 import pyarrow as pa
 
 from . import fsst as fsstmod
-from .intcodecs import delta_size, dict_size, for_size, raw_int_size, rle_size
+from .intcodecs import (byteplane_size, delta_size, dict_size, for_size,
+                        raw_int_size, rle_size)
 
 
 def choose_int_codec(a: np.ndarray) -> str:
@@ -31,6 +32,7 @@ def choose_int_codec(a: np.ndarray) -> str:
         ("for_bitpack", for_size(a)),
         ("for_delta", delta_size(a)),
         ("dict_int", dict_size(a, uniq)),
+        ("byteplane", byteplane_size(a)),
         ("raw_int", raw_int_size(n)),
     ]
     cands.sort(key=lambda c: (c[1], c[0]))

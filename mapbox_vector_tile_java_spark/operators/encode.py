@@ -228,11 +228,13 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
                   "n_parts": df.rdd.getNumPartitions()})
     mdf = df.mapInArrow(make_encode_fn(out_dir, overrides, resume, schema),
                         M.manifest_spark_schema())
-    # one action runs the whole job and lands the manifest
+    # one action runs the whole job; the manifest lands from the EXECUTORS
+    # (a parquet directory) — at the 400k partitions of docs/SCALE.md the
+    # manifest is millions of rows, which must never route through a
+    # driver collect
     mpath = os.path.join(out_dir, "manifest.parquet")
-    rows = mdf.collect()
-    mtable = pa.Table.from_pylist([r.asDict() for r in rows], schema=M.MANIFEST_ARROW)
-    pq.write_table(mtable, mpath)
+    mdf.write.mode("overwrite").parquet(mpath)
+    mtable = pq.read_table(mpath).cast(M.MANIFEST_ARROW)
     return mtable
 
 

@@ -188,7 +188,11 @@ def build_ivf_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str,
                 schema=out_schema)
 
     asg = d.mapInArrow(assign_fn, from_arrow_schema(out_schema))
-    (asg.write.mode("overwrite").partitionBy("bucket")
+    # co-locate each bucket before the partitioned write: one file per
+    # bucket instead of (tasks x buckets) fragments — at scale this is the
+    # difference between n_centroids files and millions
+    (asg.repartition(F.col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(index_dir, "assignments")))
     meta = {"n_centroids": len(C), "n_iters": n_iters, "seed": seed,
             "sample_rows": sample_rows, "stride": stride, "n_rows": int(n),

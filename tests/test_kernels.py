@@ -93,7 +93,7 @@ INT_FIXTURES = {
 }
 
 
-@pytest.mark.parametrize("codec", ["raw_int", "rle_int", "for_bitpack", "for_delta", "dict_int", "varint_int", "huff_int"])
+@pytest.mark.parametrize("codec", ["raw_int", "rle_int", "for_bitpack", "for_delta", "dict_int", "varint_int", "huff_int", "byteplane"])
 @pytest.mark.parametrize("name", list(INT_FIXTURES))
 def test_int_codec_roundtrip(codec, name):
     a = INT_FIXTURES[name]
