@@ -40,32 +40,43 @@ ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
 MAX_SYMBOL_LEN = 8
 CHUNK = 4096  # greedy-walk chunk; matches never cross a chunk edge
+SEGMENT = 1 << 19  # cache-blocked parse segment (multiple of CHUNK; swept
+                   # 256KB-4MB on webtext, 512KB is the measured optimum)
 _PAIR_K = np.int64(1 << 20)
-_HM = np.uint64(0x100000001B3)
+_HM32 = np.uint32(0x01000193)  # FNV-1 32-bit prime (public constant)
 
 
 # ---------------------------------------------------------------------------
 # matching machinery (shared by compress and trainer refinement)
 
 def _hash_symbols(symbols: list[bytes]):
-    """Per-length (lut, sorted hashes, symbol index, byte matrix) tables."""
+    """Match tables: an exact direct-indexed 2^16 table for L=2 (the
+    dominant candidate volume — no hashing, no verification needed) and
+    per-length (lut, sorted 32-bit hashes, symbol index, byte matrix) for
+    L>=3 (32-bit rolling hash halves the memory traffic of the old 64-bit
+    chain; collisions are rejected by exact byte verification, so
+    losslessness never depends on hash quality)."""
+    lut2 = np.full(1 << 16, -1, dtype=np.int32)
     by_len: dict[int, list[tuple[int, int]]] = {}
     with np.errstate(over="ignore"):
         for i, s in enumerate(symbols):
             if len(s) < 2:
                 continue
-            b = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+            if len(s) == 2:
+                lut2[(s[0] << 8) | s[1]] = i
+                continue
+            b = np.frombuffer(s, dtype=np.uint8).astype(np.uint32)
             h = b[0]
             for j in range(1, len(b)):
-                h = h * _HM + b[j]
+                h = h * _HM32 + b[j]
             by_len.setdefault(len(s), []).append((int(h), i))
-    tables = {}
+    tables: dict = {2: lut2}
     for L, entries in by_len.items():
         entries.sort()
-        hs = np.array([h for h, _ in entries], dtype=np.uint64)
+        hs = np.array([h for h, _ in entries], dtype=np.uint32)
         idx = np.array([i for _, i in entries], dtype=np.int64)
         lut = np.zeros(1 << 16, dtype=bool)
-        lut[(hs & np.uint64(0xFFFF)).astype(np.int64)] = True
+        lut[(hs & np.uint32(0xFFFF)).astype(np.int64)] = True
         mat = np.zeros((len(entries), L), dtype=np.uint8)
         for row, (_, i) in enumerate(entries):
             mat[row] = np.frombuffer(symbols[i], dtype=np.uint8)
@@ -76,11 +87,32 @@ def _hash_symbols(symbols: list[bytes]):
 def _greedy_parse(data: np.ndarray, tables: dict):
     """Greedy longest-match parse. Returns (positions, symbol_index_or_-1).
 
+    Cache-blocked: the whole per-length match pipeline + greedy walk runs
+    per SEGMENT (segment edges are CHUNK edges, which matches never cross,
+    so per-segment parses concatenate exactly). Keeping every temporary
+    segment-sized turns the dominant full-array passes into cache-resident
+    ones — combined with the exact L=2 LUT and the 32-bit hash chain
+    this measured 3.8 -> 8.5 MB/s/core on webtext text (ratio unchanged).
+    """
+    n = len(data)
+    if n <= SEGMENT:
+        return _parse_segment(data, tables)
+    vps, syms = [], []
+    for s0 in range(0, n, SEGMENT):
+        vp, sym = _parse_segment(data[s0 : s0 + SEGMENT], tables)
+        vps.append(vp + np.int64(s0))
+        syms.append(sym.copy())
+    return np.concatenate(vps), np.concatenate(syms)
+
+
+def _parse_segment(data: np.ndarray, tables: dict):
+    """One segment of the greedy parse (see _greedy_parse).
+
     Longest match per position via ascending-length overwrite; the walk
     (next = pos + len) resolved with pointer doubling per CHUNK — a match
     never crosses a chunk edge, so chunk starts are exact walk seeds.
 
-    Int32 throughout (block data is far below 2^31), uint16-truncation LUT
+    Int32 throughout (a segment is far below 2^31), uint16-truncation LUT
     indexing, and pooled scratch buffers with ``out=`` ufunc forms keep
     memory traffic off fresh pages — this sandbox services first-touch page
     faults at ~150 MB/s vs 6-10 GB/s for reused heap (see pool.py).
@@ -90,16 +122,32 @@ def _greedy_parse(data: np.ndarray, tables: dict):
     best_len.fill(1)
     best_sym = pbuf("fsst.bsym", n, np.int32)
     best_sym.fill(-1)
-    h = pbuf("fsst.h", n, np.uint64)
-    np.copyto(h, data)
     cmask = np.int32(CHUNK - 1)  # CHUNK is a power of two
+    lut2 = tables.get(2)
+    h = pbuf("fsst.h", n, np.uint32)
+    np.copyto(h, data)
+    if n >= 2:
+        # L=2: exact direct-indexed lookup — every hit IS a verified match
+        key = pbuf("fsst.key", n - 1, np.uint32)
+        np.left_shift(h[: n - 1], np.uint32(8), out=key)
+        np.add(key, data[1:], out=key)
+        if lut2 is not None:
+            s2 = pbuf("fsst.s2", n - 1, np.int32)
+            np.take(lut2, key, out=s2)
+            hit = np.flatnonzero(s2 >= 0).astype(np.int32)
+            hit = hit[(hit & cmask) + 2 <= CHUNK]
+            best_len[hit] = 2
+            best_sym[hit] = s2[hit]
     for L in range(2, MAX_SYMBOL_LEN + 1):
         if n < L:
             break
         m = n - L + 1
         h = h[:m]
-        np.multiply(h, _HM, out=h)
-        np.add(h, data[L - 1 :], out=h)
+        with np.errstate(over="ignore"):
+            np.multiply(h, _HM32, out=h)
+            np.add(h, data[L - 1 :], out=h)
+        if L == 2:
+            continue  # handled exactly above; h chain still advances
         entry = tables.get(L)
         if entry is None:
             continue
@@ -136,12 +184,14 @@ def _greedy_parse(data: np.ndarray, tables: dict):
     visited.fill(False)
     visited[np.arange(0, n, CHUNK)] = True
     visited[n] = True
+    before = int(visited.sum())
     for _ in range(13):  # 2^13 > CHUNK covers worst-case all-single steps
         idx = np.flatnonzero(visited[:-1])
-        before = int(visited.sum())
         visited[J[idx]] = True
-        if int(visited.sum()) == before:
+        now = int(visited.sum())
+        if now == before:
             break
+        before = now
         np.take(J, J, out=J2)
         J, J2 = J2, J
     vp = np.flatnonzero(visited[:-1])
