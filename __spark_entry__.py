@@ -329,6 +329,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("vec_id", "pos", F.round(F.col("component").cast("double"), 6)
                 .alias("component_r")))
 
+    def _simplify(s, d):
+        # B8 analog: explicit lossy quantize (round + time-trunc) BEFORE the
+        # lossless codec path — the size-for-fidelity trade lives in the
+        # plan, never inside a codec; the encode/decode round-trip then
+        # proves the quantized table itself is preserved bit-identically
+        from mapbox_vector_tile_java_spark.operators import transforms as TR
+
+        src = _read(s, d, "events").select("event_id", "ts", "value")
+        qt = TR.truncate_timestamps(
+            TR.quantize_round(src, {"value": 2}), {"ts": "hour"})
+        out = tempfile.mkdtemp(prefix="mvt_simplify_")
+        encode_table(plan_generic(qt, 4, "event_id"), os.path.join(out, "t"))
+        dec = decode_table(s, os.path.join(out, "t"))
+        return dec.select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("value").alias("value_q"))
+    q["transform_simplify_quantize"] = _simplify
+
     # -- text analysis
     q["text_token_stats"] = lambda s, d: T.text_stats(
         _read(s, d, "documents"), "text", "doc_id")
@@ -468,6 +487,11 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(embedding[i] AS DOUBLE), 6) AS component_r
         FROM embeddings, generate_series(1, 4) AS g(i)
         WHERE i <= len(embedding)"""
+
+    o["transform_simplify_quantize"] = """
+        SELECT event_id, epoch_us(date_trunc('hour', ts)) AS ts_us,
+               round(value, 2) AS value_q
+        FROM events"""
 
     o["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,

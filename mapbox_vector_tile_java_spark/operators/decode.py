@@ -5,9 +5,11 @@ dispatching per-column codec decode by manifest codec id -> reassembled
 DataFrame. Shuffle-free: every block row is self-contained, so decode is a
 pure map over the blocks parquet (no groupBy needed).
 
-Column pruning: ``columns=[...]`` decodes only the requested columns — the
-others' blobs are never touched (their bytes are still read from the block
-file; a column-chunk file layout would skip that too — noted as future work).
+Column pruning: ``columns=[...]`` decodes only the requested columns, and
+because each column's blobs are a separate top-level parquet column, the
+explicit projection reaches the scan (verified: FileScan ReadSchema lists
+only the requested ``c_*``/``crc_*`` columns) — unrequested columns' bytes
+are never read. Parquet's column chunks ARE the column-chunk layout.
 
 Block pruning: ``ts_range``-style predicates are evaluated against the
 per-column min/max zone maps in the manifest *before* decode — the

@@ -115,3 +115,47 @@ def test_dict_global_escape_property(rows, extra):
     r.expect_end()
     np.testing.assert_array_equal(np.asarray(out_lens), lens)
     assert np.asarray(out_data).tobytes() == data.tobytes()
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=st.lists(
+    st.one_of(st.none(),
+              st.fixed_dictionaries({
+                  "a": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                  "b": st.one_of(st.none(), st.text(max_size=20)),
+                  "c": st.one_of(st.none(),
+                                 st.lists(st.integers(-100, 100), max_size=5)),
+              })),
+    min_size=0, max_size=40))
+def test_column_envelope_struct_property(rows):
+    t = pa.struct([("a", pa.int64()), ("b", pa.string()),
+                   ("c", pa.list_(pa.int32()))])
+    arr = pa.array(rows, type=t)
+    blob, meta = encode_column(arr)
+    out = decode_column(blob, t)
+    assert out.equals(arr)
+    assert content_crc(out) == meta["content_crc"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=st.lists(
+    st.one_of(st.none(),
+              st.lists(st.tuples(st.text(max_size=8),
+                                 st.one_of(st.none(),
+                                           st.integers(-(2**40), 2**40))),
+                       max_size=6, unique_by=lambda kv: kv[0])),
+    min_size=0, max_size=40))
+def test_column_envelope_map_property(rows):
+    t = pa.map_(pa.string(), pa.int64())
+    arr = pa.array(rows, type=t)
+    blob, meta = encode_column(arr)
+    out = decode_column(blob, t)
+    lt = pa.list_(pa.struct([t.key_field, t.item_field]))
+    assert out.cast(lt).equals(arr.cast(lt))
+    assert content_crc(out) == meta["content_crc"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(values=st.lists(I64, min_size=1, max_size=200))
+def test_byteplane_roundtrip_property(values):
+    _roundtrip_int("byteplane", values)
