@@ -46,6 +46,26 @@ def fixtures() -> dict[str, pa.Array]:
         "list_int": pa.array(
             [list(range(i % 7)) for i in range(150)] + [None],
             type=pa.list_(pa.int64())),
+        # two non-adjacent random byte planes, six constant -> the exact-size
+        # selector picks byteplane (FoR would need a 40-bit width)
+        "int64_byteplane": pa.array(
+            (np.int64(0x22_00_00_00_11_00_00_00)
+             | rng.integers(0, 256, 300).astype(np.int64)
+             | (rng.integers(0, 256, 300).astype(np.int64) << 32)),
+            type=pa.int64()),
+        "struct_props": pa.array(
+            [None if i % 11 == 0 else
+             {"lang": ["en", "de", None][i % 3],
+              "n": None if i % 7 == 0 else i * 17,
+              "tags": list(range(i % 4))}
+             for i in range(200)],
+            type=pa.struct([("lang", pa.string()), ("n", pa.int64()),
+                            ("tags", pa.list_(pa.int32()))])),
+        "map_tags": pa.array(
+            [None if i % 13 == 0 else
+             [(f"k{j}", i * j if j % 2 else None) for j in range(i % 5)]
+             for i in range(200)],
+            type=pa.map_(pa.string(), pa.int64())),
     }
 
 
