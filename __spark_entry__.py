@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
     q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_pairs(
         _read(s, d, "documents"), "text", "doc_id")
+    q["dedup_ngram_lsh_verified"] = lambda s, d: D.ngram_jaccard_lsh(
+        _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
     q["dedup_simhash"] = lambda s, d: D.simhash_pairs(
         _read(s, d, "documents"), "text", "doc_id")
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_neardup_pairs(
@@ -458,6 +460,32 @@ def oracle_sql() -> dict[str, str]:
 
     o["media_meta"] = (
         f"SELECT * FROM read_parquet('{FIXTURE_DIR}/media_expected.parquet')")
+
+    # the full scale composition: LSH band candidates (from the signature
+    # fixture) -> exact jaccard verify -> threshold, all recomputed in SQL
+    grams3o = ("list_sort(list_distinct(list_transform("
+               "range(1, greatest(length(text) - 2, 0) + 1), "
+               "i -> substring(text, i, 3))))")
+    o["dedup_ngram_lsh_verified"] = f"""
+        WITH banded AS (
+          SELECT id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bh
+          FROM read_parquet('{FIXTURE_DIR}/minhash_sig.parquet'),
+               generate_series(0, 15) AS g(b)),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+          GROUP BY a.id, b.id),
+        gr AS (SELECT doc_id AS id, {grams3o} AS g FROM documents
+               WHERE len({grams3o}) > 0)
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(a.g, b.g)) * 1.0 /
+                     (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                 AS jaccard
+        FROM cand c JOIN gr a ON a.id = c.id_a JOIN gr b ON b.id = c.id_b
+        WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+              >= 0.5"""
 
     o["roundtrip_documents"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"
     o["roundtrip_events"] = ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, "

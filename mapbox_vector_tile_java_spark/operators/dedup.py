@@ -204,6 +204,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
+def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 3, threshold: float = 0.5,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 5, seed: int = 42,
+                      work_dir: str | None = None) -> DataFrame:
+    """Scale-path near-dup detection: minhash-LSH candidate pairs, then
+    EXACT char-k-gram jaccard computed only on the candidates.
+
+    Replaces ngram_jaccard_pairs' O(n^2) self-join with
+    O(candidates) exact work — candidates are bounded by near-duplicate
+    cluster sizes, not corpus size. Recall is the LSH recall (1-(1-j^r)^b;
+    >=0.99 for j>=0.8 at 64/16); precision is exact (every reported pair
+    carries its true jaccard). Returns (id_a, id_b, jaccard).
+    """
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands,
+                              shingle_k, seed, work_dir=work_dir)
+    grams = F.expr(
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> substring({text_col}, i, {k}))))")
+    g = (df.select(F.col(id_col).cast("long").alias("id"), grams.alias("g"))
+           .where(F.size("g") > 0))
+    a = g.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 
