@@ -178,3 +178,24 @@ def test_bitflip_detected_by_content_crc():
     except (ValueError, IndexError, KeyError):
         return  # structural corruption already caught — fine
     assert content_crc(out) != meta["content_crc"]
+
+
+def test_multi_segment_single_document():
+    """A single document larger than the FSST parse SEGMENT exercises the
+    cache-blocked multi-segment path end-to-end (segment edges are chunk
+    edges; parses must concatenate exactly)."""
+    from mapbox_vector_tile_java_spark.codecs import fsst as fsstmod
+
+    words = np.array(["the ", "web ", "crawl ", "data ", "page "], dtype=object)
+    big = "".join(words[rng.integers(0, len(words), 800_000)])  # ~4MB, 8 segments
+    arr = pa.array([big, "small", None, big[: 10_000]], type=pa.string())
+    blob, meta = encode_column(arr)
+    out = decode_column(blob, pa.string())
+    assert out.equals(arr)
+    # and the raw kernel agrees with a single-segment parse on a slice
+    data = np.frombuffer(big.encode(), dtype=np.uint8)
+    table = fsstmod.train(data[: 1 << 18])
+    seg = fsstmod.SEGMENT
+    assert len(data) > seg  # the test's premise
+    comp = table.compress(data)
+    assert bytes(table.decompress(comp)) == bytes(data)
