@@ -218,6 +218,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("tags").getItem("src").alias("tag_src"))
     q["roundtrip_struct_props"] = _rt_struct
 
+    def _rt_decimal(s, d):
+        # decimal128 columns through the codec path (lo/hi int64 planes —
+        # the hi plane is sign extension and compresses to ~nothing);
+        # output as integer cents so the compare is integer-exact
+        src = (_read(s, d, "lineitem")
+               .select("l_orderkey", "l_linenumber",
+                       F.col("l_extendedprice").cast("decimal(12,2)").alias("price_d"),
+                       F.col("l_discount").cast("decimal(4,2)").alias("disc_d")))
+        out = tempfile.mkdtemp(prefix="mvt_rt_dec_")
+        encode_table(plan_generic(src, 4, "l_orderkey"), os.path.join(out, "t"))
+        dec = decode_table(s, os.path.join(out, "t"))
+        return dec.select(
+            "l_orderkey", "l_linenumber",
+            (F.col("price_d") * 100).cast("long").alias("price_cents"),
+            (F.col("disc_d") * 100).cast("long").alias("disc_cents"))
+    q["roundtrip_decimal"] = _rt_decimal
+
     # -- codec engine introspection (engine-specific -> rows-only checks)
     def _compression_stats(s, d):
         src = _read(s, d, "documents")
@@ -499,6 +516,14 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings, generate_series(1, 4096) AS g(i)
         WHERE i <= len(embedding)"""
     o["roundtrip_orders"] = _orders_oracle()
+    o["roundtrip_decimal"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 AS price_cents,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                 AS disc_cents
+        FROM lineitem"""
+
     o["roundtrip_struct_props"] = """
         SELECT doc_id, lang AS meta_lang, source AS meta_source,
                n_chars AS meta_chars, lang AS tag_lang, source AS tag_src

@@ -80,7 +80,7 @@ def _is_listlike(t: pa.DataType) -> bool:
 
 
 def supported(t: pa.DataType) -> bool:
-    if _is_intlike(t) or _is_byteslike(t):
+    if _is_intlike(t) or _is_byteslike(t) or pa.types.is_decimal128(t):
         return True
     if _is_listlike(t):
         return supported(t.value_type)
@@ -89,6 +89,16 @@ def supported(t: pa.DataType) -> bool:
     if pa.types.is_map(t):
         return supported(t.key_type) and supported(t.item_type)
     return False
+
+
+def _decimal_planes(nn: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null decimal128 array -> (lo, hi) int64 planes of the 128-bit
+    two's-complement values (little-endian host). Typical decimals fit the
+    low plane; the high plane is pure sign extension -> const/RLE, so a
+    decimal column costs barely more than an int64 one."""
+    raw = np.frombuffer(nn.buffers()[1], dtype=np.int64)
+    pair = raw[nn.offset * 2 : (nn.offset + len(nn)) * 2].reshape(-1, 2)
+    return np.ascontiguousarray(pair[:, 0]), np.ascontiguousarray(pair[:, 1])
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +267,13 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
             parts.append(child_blob)
             sub.append(child_meta["codec"])
         name = f"struct({','.join(sub)})"
+    elif pa.types.is_decimal128(t):
+        lo, hi = _decimal_planes(nn)
+        crc = zlib.crc32(lo.tobytes(), crc)
+        crc = zlib.crc32(hi.tobytes(), crc)
+        parts.append(encode_int_sub(lo))
+        parts.append(encode_int_sub(hi))
+        name = "decimal128"
     else:
         raise TypeError(f"unsupported column type: {t}")
 
@@ -311,6 +328,10 @@ def content_crc(arr: pa.Array | pa.ChunkedArray) -> int:
     elif pa.types.is_struct(t):
         for i in range(t.num_fields):
             crc = zlib.crc32(content_crc(nn.field(i)).to_bytes(8, "little"), crc)
+    elif pa.types.is_decimal128(t):
+        lo, hi = _decimal_planes(nn)
+        crc = zlib.crc32(lo.tobytes(), crc)
+        crc = zlib.crc32(hi.tobytes(), crc)
     else:
         raise TypeError(f"unsupported column type: {t}")
     return crc & 0xFFFFFFFFFFFFFFFF
@@ -387,4 +408,14 @@ def _decode_from(r: ByteReader, t: pa.DataType, ctx: dict | None) -> pa.Array:
             return pa.StructArray.from_arrays(children, fields=list(t),
                                               mask=pa.array(~valid))
         return pa.StructArray.from_arrays(children, fields=list(t))
+    if pa.types.is_decimal128(t):
+        lo = decode_int_sub(r, nn)
+        hi = decode_int_sub(r, nn)
+        full = np.zeros((n, 2), dtype=np.int64)
+        full[valid, 0] = lo
+        full[valid, 1] = hi
+        nulls = n - nn
+        vbuf = None if nulls == 0 else pa.py_buffer(pack_validity(valid))
+        return pa.Array.from_buffers(
+            t, n, [vbuf, pa.py_buffer(full.tobytes())], null_count=nulls)
     raise TypeError(f"unsupported column type: {t}")

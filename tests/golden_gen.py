@@ -61,6 +61,11 @@ def fixtures() -> dict[str, pa.Array]:
              for i in range(200)],
             type=pa.struct([("lang", pa.string()), ("n", pa.int64()),
                             ("tags", pa.list_(pa.int32()))])),
+        "decimal_prices": pa.array(
+            [None if i % 17 == 0 else
+             __import__("decimal").Decimal(int(rng.integers(-10**6, 10**6))) / 100
+             for i in range(300)],
+            type=pa.decimal128(12, 2)),
         "map_tags": pa.array(
             [None if i % 13 == 0 else
              [(f"k{j}", i * j if j % 2 else None) for j in range(i % 5)]

@@ -15,6 +15,13 @@ from helpers import assert_bit_equal
 rng = np.random.default_rng(487125064)
 
 
+def _dec_arr(vals, precision, scale):
+    from decimal import Decimal
+
+    return pa.array([None if v is None else Decimal(v) for v in vals],
+                    type=pa.decimal128(precision, scale))
+
+
 def roundtrip(arr: pa.Array, codec="auto", params=None, ctx=None):
     blob, meta = encode_column(arr, codec, params)
     out = decode_column(blob, arr.type, ctx)
@@ -72,6 +79,12 @@ CASES = {
     "map_ts": pa.array(
         [[("x", 1_700_000_000_000_000)], []],
         type=pa.map_(pa.string(), pa.timestamp("us"))),
+    "decimal_cents": _dec_arr(["12.34", None, "-99999999.99", "0.01", "0.00"],
+                              12, 2),
+    "decimal_wide": _dec_arr([str(10**37), str(-(10**37)), None, "0"], 38, 0),
+    "struct_decimal": pa.array(
+        [{"p": __import__("decimal").Decimal("1.50"), "q": 2}, None],
+        type=pa.struct([("p", pa.decimal128(10, 2)), ("q", pa.int64())])),
 }
 
 
