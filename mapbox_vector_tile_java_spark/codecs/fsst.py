@@ -56,13 +56,15 @@ def _hash_symbols(symbols: list[bytes]):
     L>=3 (32-bit rolling hash halves the memory traffic of the old 64-bit
     chain; collisions are rejected by exact byte verification, so
     losslessness never depends on hash quality)."""
-    lut2 = np.full(1 << 16, -1, dtype=np.int32)
+    lut2 = None
     by_len: dict[int, list[tuple[int, int]]] = {}
     with np.errstate(over="ignore"):
         for i, s in enumerate(symbols):
             if len(s) < 2:
                 continue
             if len(s) == 2:
+                if lut2 is None:
+                    lut2 = np.full(1 << 16, -1, dtype=np.int32)
                 lut2[(s[0] << 8) | s[1]] = i
                 continue
             b = np.frombuffer(s, dtype=np.uint8).astype(np.uint32)
@@ -70,7 +72,7 @@ def _hash_symbols(symbols: list[bytes]):
             for j in range(1, len(b)):
                 h = h * _HM32 + b[j]
             by_len.setdefault(len(s), []).append((int(h), i))
-    tables: dict = {2: lut2}
+    tables: dict = {2: lut2}  # None when the table has no 2-byte symbols
     for L, entries in by_len.items():
         entries.sort()
         hs = np.array([h for h, _ in entries], dtype=np.uint32)
@@ -80,7 +82,15 @@ def _hash_symbols(symbols: list[bytes]):
         mat = np.zeros((len(entries), L), dtype=np.uint8)
         for row, (_, i) in enumerate(entries):
             mat[row] = np.frombuffer(symbols[i], dtype=np.uint8)
-        tables[L] = (lut, hs, idx, mat)
+        # longest run of equal 32-bit hashes: >1 only on a (rare) intra-
+        # table collision; the matcher scans the whole run so a collided
+        # symbol is still matchable (not silently shadowed)
+        maxrun = 1
+        if len(hs) > 1:
+            runs = np.diff(np.flatnonzero(np.concatenate(
+                ([True], hs[1:] != hs[:-1], [True]))))
+            maxrun = int(runs.max())
+        tables[L] = (lut, hs, idx, mat, maxrun)
     return tables
 
 
@@ -101,7 +111,7 @@ def _greedy_parse(data: np.ndarray, tables: dict):
     for s0 in range(0, n, SEGMENT):
         vp, sym = _parse_segment(data[s0 : s0 + SEGMENT], tables)
         vps.append(vp + np.int64(s0))
-        syms.append(sym.copy())
+        syms.append(sym)  # fancy-indexing result: already pool-independent
     return np.concatenate(vps), np.concatenate(syms)
 
 
@@ -126,18 +136,17 @@ def _parse_segment(data: np.ndarray, tables: dict):
     lut2 = tables.get(2)
     h = pbuf("fsst.h", n, np.uint32)
     np.copyto(h, data)
-    if n >= 2:
+    if n >= 2 and lut2 is not None:
         # L=2: exact direct-indexed lookup — every hit IS a verified match
         key = pbuf("fsst.key", n - 1, np.uint32)
         np.left_shift(h[: n - 1], np.uint32(8), out=key)
         np.add(key, data[1:], out=key)
-        if lut2 is not None:
-            s2 = pbuf("fsst.s2", n - 1, np.int32)
-            np.take(lut2, key, out=s2)
-            hit = np.flatnonzero(s2 >= 0).astype(np.int32)
-            hit = hit[(hit & cmask) + 2 <= CHUNK]
-            best_len[hit] = 2
-            best_sym[hit] = s2[hit]
+        s2 = pbuf("fsst.s2", n - 1, np.int32)
+        np.take(lut2, key, out=s2)
+        hit = np.flatnonzero(s2 >= 0).astype(np.int32)
+        hit = hit[(hit & cmask) + 2 <= CHUNK]
+        best_len[hit] = 2
+        best_sym[hit] = s2[hit]
     for L in range(2, MAX_SYMBOL_LEN + 1):
         if n < L:
             break
@@ -151,7 +160,7 @@ def _parse_segment(data: np.ndarray, tables: dict):
         entry = tables.get(L)
         if entry is None:
             continue
-        lut, hs, sidx, mat = entry
+        lut, hs, sidx, mat, maxrun = entry
         # uint16 truncation == (h & 0xFFFF) without a second temporary
         hv = pbuf("fsst.hv", m, np.uint16)
         np.copyto(hv, h, casting="unsafe")
@@ -168,11 +177,25 @@ def _parse_segment(data: np.ndarray, tables: dict):
         cand, pos = cand[ok], pos[ok]
         if len(cand) == 0:
             continue
-        exact = (data[cand[:, None] + np.arange(L, dtype=np.int32)[None, :]]
-                 == mat[pos]).all(axis=1)
-        cand, pos = cand[exact], pos[exact]
-        best_len[cand] = L
-        best_sym[cand] = sidx[pos]
+        # scan the whole equal-hash run (maxrun>1 only on a rare intra-
+        # table 32-bit collision) so no symbol is silently shadowed
+        window = data[cand[:, None] + np.arange(L, dtype=np.int32)[None, :]]
+        for off in range(maxrun):
+            p = pos + off
+            inb = p < len(hs)
+            live = inb.copy()
+            live[inb] &= hs[p[inb]] == h[cand[inb]]
+            if not live.any():
+                break
+            exact = live.copy()
+            exact[live] = (window[live] == mat[p[live]]).all(axis=1)
+            hitc = cand[exact]
+            best_len[hitc] = L
+            best_sym[hitc] = sidx[p[exact]]
+            keep = ~exact
+            cand, pos, window = cand[keep], pos[keep], window[keep]
+            if len(cand) == 0:
+                break
     J = pbuf("fsst.J", n + 1, np.int32)
     J2 = pbuf("fsst.J2", n + 1, np.int32)
     iota = pbuf("fsst.iota", n, np.int32)

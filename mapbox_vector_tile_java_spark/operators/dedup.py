@@ -63,6 +63,22 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # character n-gram jaccard (exact)
 
+def gram_set_expr(text_col: str, k: int):
+    """Sorted distinct char-k-gram set of a text column.
+
+    The length guard matters: Spark's ``sequence(1, 0)`` yields a
+    DESCENDING [1, 0] (not an empty array), which would fabricate phantom
+    grams for texts shorter than k — texts with no k-grams must map to an
+    empty set, matching the end-exclusive ``range`` the SQL oracles use.
+    """
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> substring({text_col}, i, {k})))) "
+        f"ELSE array() END")
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         k: int = 3, threshold: float = 0.6) -> DataFrame:
     """Exact jaccard over char k-gram sets for all pairs above threshold.
@@ -71,11 +87,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     LSH candidates at scale; run standalone only at small n.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded.
     """
-    grams = F.expr(
-        f"array_sort(array_distinct(transform("
-        f"sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
-        f" i -> substring({text_col}, i, {k}))))")
-    g = (df.select(F.col(id_col).alias("id"), grams.alias("g"))
+    g = (df.select(F.col(id_col).alias("id"),
+                   gram_set_expr(text_col, k).alias("g"))
            .where(F.size("g") > 0))
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
@@ -220,11 +233,8 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
     """
     cands = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands,
                               shingle_k, seed, work_dir=work_dir)
-    grams = F.expr(
-        f"array_sort(array_distinct(transform("
-        f"sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
-        f" i -> substring({text_col}, i, {k}))))")
-    g = (df.select(F.col(id_col).cast("long").alias("id"), grams.alias("g"))
+    g = (df.select(F.col(id_col).cast("long").alias("id"),
+                   gram_set_expr(text_col, k).alias("g"))
            .where(F.size("g") > 0))
     a = g.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
     b = g.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))

@@ -100,9 +100,15 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8,
     fingerprint_rolling (one vectorized pass, ~100x cheaper per byte).
     """
     c = F.col(text_col)
+    # the length guard is load-bearing: sequence(1, 0, step) RAISES in
+    # Spark ("Illegal sequence boundaries"), so texts shorter than k must
+    # short-circuit to an empty gram list (min over empty -> NULL, which
+    # is also what the SQL oracle's CASE produces)
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0), {stride}),"
-        f" i -> substring({text_col}, i, {k}))")
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k - 1}, {stride}),"
+        f" i -> substring({text_col}, i, {k})) "
+        f"ELSE array() END")
     return df.select(
         F.col(id_col),
         F.md5(c.cast("binary")).alias("md5_full"),

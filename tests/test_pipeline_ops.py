@@ -217,3 +217,35 @@ def test_media_meta_plumbing(spark):
     # deterministic
     again = decode_media_meta(synth_media_df(spark, 500, seed=1, partitions=4)).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_short_and_empty_texts_dont_break_gram_ops(spark):
+    """Texts shorter than the gram size must contribute NO grams (Spark's
+    sequence(1, 0) yields a descending [1, 0] — the guard in gram_set_expr
+    prevents phantom grams) and must not crash the strided fingerprint
+    (sequence(1, 0, step) raises without its guard)."""
+    from mapbox_vector_tile_java_spark.operators import textstats as T
+
+    rows = [Row(doc_id=0, text=""), Row(doc_id=1, text="ab"),
+            Row(doc_id=2, text="x"), Row(doc_id=3, text="a proper document"),
+            Row(doc_id=4, text="a proper document")]
+    df = spark.createDataFrame(rows)
+    # exact jaccard: the two real duplicates pair; NO pair involves the
+    # short texts (they have empty gram sets, like the SQL oracle's range)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.ngram_jaccard_pairs(df, "text", "doc_id", k=3,
+                                            threshold=0.5).collect()}
+    assert pairs == {(3, 4)}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in D.ngram_jaccard_lsh(df, "text", "doc_id", k=3,
+                                        threshold=0.5).collect()}
+    assert lsh == {(3, 4)}
+    # strided md5 fingerprint: short texts -> NULL min-gram, no crash
+    fps = {r["doc_id"]: r["min_gram_md5"]
+           for r in T.fingerprint(df, "text", "doc_id").collect()}
+    assert fps[0] is None and fps[1] is None and fps[2] is None
+    assert fps[3] is not None
+    # rolling fingerprint agrees on the same rows
+    roll = {r["id"]: r["min_gram_hash"]
+            for r in T.fingerprint_rolling(df, "text", "doc_id").collect()}
+    assert roll[0] is None and roll[3] is not None

@@ -60,8 +60,12 @@ def test_iceberg_roundtrip(spark, tmp_path):
     is on the classpath (e.g. spark.jars.packages=org.apache.iceberg:...)."""
     if not iceberg_available(spark):
         pytest.skip("iceberg-spark-runtime jar not available in this environment")
-    from mapbox_vector_tile_java_spark.sources.tableio import (
-        configure_local_catalog)  # noqa: F401  (catalog setup documented there)
+    # catalogs resolve lazily, so a runtime conf on the existing session is
+    # enough — no new SparkSession needed
+    spark.conf.set("spark.sql.catalog.local",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.local.warehouse", str(tmp_path / "wh"))
     io = IcebergTableIO(spark)
     src = webtext_df(spark, 100, seed=3, partitions=2)
     io.write(src, "local.db.webtext", mode="overwrite")
