@@ -83,3 +83,89 @@ def test_streaming_replay_is_idempotent(spark, stream_dirs):
             [gen_batch(np.arange(0, 3000, dtype=np.int64), seed=42)],
             schema=SCHEMA).to_pandas())
     verify_roundtrip(full, decode_segments(spark, out_dir))
+
+
+def test_windowed_ingest_stats_with_watermark(spark, stream_dirs, tmp_path):
+    """Event-time windowed aggregation over the ingest stream; results must
+    equal the same aggregation computed in batch over the full table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from mapbox_vector_tile_java_spark.streaming.windowed import (
+        windowed_ingest_stats)
+
+    src_dir, _, _ = stream_dirs
+    stream = (spark.readStream.schema(from_arrow_schema(SCHEMA))
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    agg = windowed_ingest_stats(stream, window="6 hours", watermark="1 hour")
+    out = str(tmp_path / "agg_out")
+    q = (agg.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "agg_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.read.parquet(out)
+           .select(F.col("window.start").alias("ws"), "n_docs", "total_bytes")
+           .orderBy("ws"))
+    batch = spark.read.parquet(src_dir)
+    want = (batch.groupBy(F.window("warc_ts", "6 hours").alias("window"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce(F.length("text"), F.lit(0))
+                       + F.coalesce(F.length("html"), F.lit(0))).alias("total_bytes"))
+            .select(F.col("window.start").alias("ws"), "n_docs", "total_bytes")
+            .orderBy("ws"))
+    got_rows = [tuple(r) for r in got.collect()]
+    want_rows = [tuple(r) for r in want.collect()]
+    # append mode only emits windows the watermark has closed; every emitted
+    # window must match batch exactly, and most windows must have closed
+    want_by_ws = {r[0]: r for r in want_rows}
+    assert len(got_rows) >= len(want_rows) - 1
+    for r in got_rows:
+        assert want_by_ws[r[0]] == r
+
+
+def test_host_profile_stateful_stream(spark, stream_dirs, tmp_path):
+    """applyInPandasWithState running per-host profile: final update-mode
+    emission per host must equal the batch groupBy over everything seen."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from mapbox_vector_tile_java_spark.plans.partitioning import host_expr
+    from mapbox_vector_tile_java_spark.streaming.windowed import (
+        host_profile_stream)
+
+    src_dir, _, _ = stream_dirs
+    stream = (spark.readStream.schema(from_arrow_schema(SCHEMA))
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    prof = host_profile_stream(stream)
+    out = str(tmp_path / "prof_out")
+
+    def sink(bdf, bid):  # parquet has no update mode; land updates per batch
+        bdf.write.mode("append").parquet(out)
+
+    q = (prof.writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "prof_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emission per host (update mode re-emits on every batch a host
+    # appears in; the running totals of the LAST emission are the answer)
+    emitted = spark.read.parquet(out)
+    last = (emitted.groupBy("host")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.max("total_bytes").alias("total_bytes"),
+                 F.min("first_seen_us").alias("first_seen_us"),
+                 F.max("last_seen_us").alias("last_seen_us")))
+    batch = spark.read.parquet(src_dir)
+    want = (batch.groupBy(host_expr("url").alias("host"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce(F.length("text"), F.lit(0))
+                       + F.coalesce(F.length("html"), F.lit(0))).alias("total_bytes"),
+                 F.min(F.unix_micros(F.col("warc_ts").cast("timestamp"))).alias("first_seen_us"),
+                 F.max(F.unix_micros(F.col("warc_ts").cast("timestamp"))).alias("last_seen_us")))
+    got = {r["host"]: tuple(r)[1:] for r in last.collect()}
+    exp = {r["host"]: tuple(r)[1:] for r in want.collect()}
+    assert got == exp
