@@ -238,24 +238,25 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
     base = spark.read.parquet(os.path.join(index_dir, "assignments"))
 
     qids = [int(x) for x in query_ids]
+    # ONE pruned lookup collects the m query rows (vectors + precomputed
+    # norms); the broadcast side is then built driver-side from those rows —
+    # no second scan of the assignments table
     qrows = (base.where(F.col("nid").isin(qids))
-                 .select("nid", "v").orderBy("nid").collect())  # m rows, tiny
+                 .select("nid", "v", "nrm").orderBy("nid").collect())
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cosine double")
     Q = np.array([r["v"] for r in qrows], dtype=np.float64)
     probes = probe_lists(Q, C, n_probe)
-    probe_rows = [(int(r["nid"]), [int(b) for b in pr])
-                  for r, pr in zip(qrows, probes)]
-    probe_df = spark.createDataFrame(probe_rows,
-                                     "query_id long, probes array<int>")
-    all_buckets = sorted({b for _, pr in probe_rows for b in pr})
+    q_rows = [(int(r["nid"]), [float(x) for x in r["v"]], float(r["nrm"]),
+               [int(b) for b in pr])
+              for r, pr in zip(qrows, probes)]
+    q = spark.createDataFrame(
+        q_rows,
+        "query_id long, qv array<double>, qnrm double, probes array<int>")
+    all_buckets = sorted({b for _, _, _, pr in q_rows for b in pr})
     # partition-pruned scan: only probed bucket directories are read
     cand = base.where(F.col("bucket").isin(all_buckets))
-    q = (base.where(F.col("nid").isin(qids))
-             .select(F.col("nid").alias("query_id"),
-                     F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
-             .join(F.broadcast(probe_df), "query_id"))
     j = cand.join(F.broadcast(q),
                   F.array_contains(F.col("probes"), F.col("bucket"))
                   & (F.col("nid") != F.col("query_id")))
