@@ -113,6 +113,22 @@ def _write_oracle_fixtures() -> None:
                          w, h, fr, len(payload), mean))
         else:
             rows.append((mid, None, 0, 0, 0, 0, 0))
+    # 5b: SRP fingerprints of the sf0.01 embeddings (same numpy kernel as
+    # the Spark stage; DuckDB independently recomputes banding, candidate
+    # generation and the exact-cosine verify)
+    from mapbox_vector_tile_java_spark.operators.dedup import srp_kernel
+
+    emb0 = pq.read_table(f"{ORACLE_SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).drop_null()
+    V0 = np.array(emb0.column("embedding").to_pylist(), dtype=np.float64)
+    srp = srp_kernel(V0, V0.shape[1], seed=42).view(np.int64)
+    pq.write_table(
+        pa.table({"id": pa.array(
+                      emb0.column("vec_id").to_numpy(zero_copy_only=False),
+                      type=pa.int64()),
+                  "simhash": pa.array(srp, type=pa.int64())}),
+        f"{FIXTURE_DIR}/srp_fp.parquet")
+
     # 6: IVF centroids + bucket assignments over the sf0.01 embeddings via
     # the same deterministic numpy core as the Spark index build (stride=1
     # at gate scale, so the Spark sample == all rows sorted by id); DuckDB
@@ -389,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: D.simhash_pairs(
         _read(s, d, "documents"), "text", "doc_id")
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_neardup_pairs(
+        _read(s, d, "embeddings"), "embedding", "vec_id", threshold=0.35)
+    q["dedup_embedding_srp"] = lambda s, d: D.embedding_srp_pairs(
         _read(s, d, "embeddings"), "embedding", "vec_id", threshold=0.35)
 
     # -- similarity search (ivf: the index is built once per sf_dir and
@@ -691,6 +709,28 @@ def oracle_sql() -> dict[str, str]:
         FROM e a, e b
         WHERE a.id < b.id
           AND round({dot.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= 0.35"""
+
+    o["dedup_embedding_srp"] = f"""
+        WITH fp AS (SELECT id, simhash
+                    FROM read_parquet('{FIXTURE_DIR}/srp_fp.parquet')),
+        bp AS (SELECT g1.i, g2.j FROM generate_series(0, 7) g1(i),
+                                      generate_series(0, 7) g2(j)
+               WHERE g1.i < g2.j),
+        banded AS (
+          SELECT id, bp.i * 8 + bp.j AS band,
+                 ((simhash >> (bp.i * 8)) & 255) * 256
+                   + ((simhash >> (bp.j * 8)) & 255) AS bh
+          FROM fp, bp),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+        e AS (SELECT vec_id AS id, embedding AS v,
+                     {nrm.format(c='embedding')} AS nrm
+              FROM embeddings WHERE {nrm.format(c='embedding')} > 0)
+        SELECT c.id_a, c.id_b,
+               round({dot.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) AS cosine
+        FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+        WHERE round({dot.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6) >= 0.35"""
 
     o["ann_bruteforce_topk"] = f"""
         WITH e AS (SELECT vec_id AS nid, embedding AS v,

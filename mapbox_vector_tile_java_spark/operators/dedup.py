@@ -356,6 +356,101 @@ def simhash_pairs_from_fps(fp: DataFrame, max_hamming: int = 6) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sign-random-projection LSH for embeddings (sub-quadratic cosine dedup)
+
+def srp_kernel(V: np.ndarray, dim: int, n_bits: int = 64,
+               seed: int = 42) -> np.ndarray:
+    """uint64 sign-random-projection fingerprints: bit j = sign(V @ R[:, j])
+    with a seeded gaussian projection matrix. Pure numpy — shared by the
+    Spark stage and the oracle fixture writer. P(bit differs) = angle/pi,
+    so hamming distance estimates the angle between vectors."""
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((dim, n_bits))
+    bits = (V @ R) > 0
+    return np.packbits(bits.astype(np.uint8), axis=1,
+                       bitorder="little").view(np.uint64).ravel()
+
+
+def srp_fingerprints(df: DataFrame, vec_col: str, id_col: str,
+                     seed: int = 42) -> DataFrame:
+    """(id, simhash long): SRP fingerprints of an embedding column — named
+    ``simhash`` so the block-pair banding machinery is shared verbatim."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("simhash", LongType(), False),
+    ])
+
+    def fn(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            vv = b.column(1)
+            V = np.asarray(vv.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(len(ids), -1)
+            fps = srp_kernel(V, V.shape[1], seed=seed)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(fps.view(np.int64), type=pa.int64())],
+                names=["id", "simhash"])
+
+    src = (df.where(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).cast("long").alias("id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("v")))
+    return src.mapInArrow(fn, out_schema)
+
+
+def embedding_srp_pairs(df: DataFrame, vec_col: str, id_col: str,
+                        threshold: float = 0.95, seed: int = 42,
+                        work_dir: str | None = None) -> DataFrame:
+    """Sub-quadratic cosine near-dup pairs: SRP band candidates -> EXACT
+    cosine verify on candidates only. Returns (id_a, id_b, cosine).
+
+    Scale shape: fingerprints are one map pass; the only quadratic-ish
+    step is the band-bucket join, whose buckets hold vectors agreeing on
+    16 projection signs. Precision is exact (every reported pair carries
+    its true cosine, same fold/rounding as the SQL oracle). Recall: a pair
+    surfaces iff some block pair of its fingerprints matches — guaranteed
+    when SRP hamming <= 6, i.e. designed for true near-duplicates
+    (E[hamming] = 64*angle/pi ~ 6 at cosine 0.96); at looser thresholds
+    recall decays and the exact block-pair plan
+    (embedding_neardup_pairs) or IVF bucketing is the right tool.
+    """
+    import tempfile
+
+    fp = srp_fingerprints(df, vec_col, id_col, seed)
+    work_dir = work_dir or tempfile.mkdtemp(prefix="mvt_srp_")
+    fp.write.mode("overwrite").parquet(work_dir)
+    fp = df.sparkSession.read.parquet(work_dir)
+    banded = fp.select(
+        "id", F.posexplode(F.array(*simhash_band_exprs())).alias("band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    v = (df.where(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).cast("long").alias("id"),
+                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")))
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.select("id", "v", nrm.alias("nrm")).where(F.col("nrm") > 0)
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
 def _norms_seq(M: np.ndarray) -> np.ndarray:

@@ -249,3 +249,25 @@ def test_short_and_empty_texts_dont_break_gram_ops(spark):
     roll = {r["id"]: r["min_gram_hash"]
             for r in T.fingerprint_rolling(df, "text", "doc_id").collect()}
     assert roll[0] is None and roll[3] is not None
+
+
+def test_embedding_srp_finds_planted_neardups(spark):
+    """True near-duplicate vectors (cosine ~1 -> SRP hamming ~0) MUST
+    surface through the band join, with their exact cosines."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=32)])
+            for i in range(60)]
+    base = np.array(rows[0].embedding)
+    rows.append(Row(vec_id=500, embedding=[float(x) for x in base * 1.01]))
+    rows.append(Row(vec_id=501, embedding=[float(x) for x in base + 0.001]))
+    df = spark.createDataFrame(rows)
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in D.embedding_srp_pairs(df, "embedding", "vec_id",
+                                          threshold=0.98).collect()}
+    assert (0, 500) in out and out[(0, 500)] > 0.999
+    assert (0, 501) in out
+    assert (500, 501) in out
+    # precision is exact: nothing below threshold is reported
+    assert all(c >= 0.98 for c in out.values())
