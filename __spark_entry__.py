@@ -165,6 +165,31 @@ def _write_oracle_fixtures() -> None:
     })
     pq.write_table(exp, f"{FIXTURE_DIR}/media_expected.parquet")
 
+    # 5c: expected media features via an independent per-row histogram loop
+    # (same dtype discipline as the batched kernel: int64 counts divided by
+    # a float32 denominator, stored float32; rounding mirrors Spark's
+    # BigDecimal HALF_UP exactly via the decimal module)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    dim = 16
+    q6 = Decimal("0.000001")
+    frows = []
+    for mid, blob in zip(media.column(0).to_pylist(), media.column(1).to_pylist()):
+        hist = np.zeros(dim, dtype=np.int64)
+        for byte in (blob or b""):
+            hist[byte % dim] += 1
+        denom = np.float32(max(len(blob or b""), 1))
+        feat = (hist / denom).astype(np.float32)
+        for pos in range(dim):
+            r6 = float(Decimal(float(feat[pos])).quantize(q6, ROUND_HALF_UP))
+            frows.append((mid, pos, r6))
+    fexp = pa.table({
+        "media_id": pa.array([r[0] for r in frows], type=pa.int64()),
+        "pos": pa.array([r[1] for r in frows], type=pa.int32()),
+        "fv_r": pa.array([r[2] for r in frows], type=pa.float64()),
+    })
+    pq.write_table(fexp, f"{FIXTURE_DIR}/media_features_expected.parquet")
+
 
 def _roundtrip(spark, sf_dir, table, key, cast_ts: list[str] = ()):
     """Encode a testdata table with the codec engine, decode it back, and
@@ -426,6 +451,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal plumbing (synthetic media, stubbed decode)
     q["media_meta"] = lambda s, d: decode_media_meta(synth_media_df(s, 2_000, seed=42, partitions=4))
 
+    def _media_features(s, d):
+        from mapbox_vector_tile_java_spark.operators.multimodal import (
+            extract_features)
+
+        feats = extract_features(synth_media_df(s, 2_000, seed=42, partitions=4),
+                                 dim=16)
+        return (feats.select("media_id",
+                             F.posexplode("feature").alias("pos", "fv"))
+                     .select("media_id", "pos",
+                             F.round(F.col("fv").cast("double"), 6).alias("fv_r")))
+    q["media_features"] = _media_features
+
+    def _media_resize(s, d):
+        from mapbox_vector_tile_java_spark.operators.multimodal import (
+            resize_images)
+
+        return decode_media_meta(resize_images(
+            synth_media_df(s, 2_000, seed=42, partitions=4), 128, 96))
+    q["media_resize_meta"] = _media_resize
+
+    def _media_frames(s, d):
+        from mapbox_vector_tile_java_spark.operators.multimodal import (
+            sample_frames)
+
+        return sample_frames(synth_media_df(s, 2_000, seed=42, partitions=4),
+                             every_n=4)
+    q["media_frame_sample"] = _media_frames
+
     # -- streaming ingestion (engine-specific -> rows-only check): two
     # micro-batches encode as segments, union-decoded back bit-identically
     def _streaming_ingest(s, d):
@@ -495,6 +548,20 @@ def oracle_sql() -> dict[str, str]:
 
     o["media_meta"] = (
         f"SELECT * FROM read_parquet('{FIXTURE_DIR}/media_expected.parquet')")
+    o["media_features"] = (
+        f"SELECT media_id, pos, fv_r "
+        f"FROM read_parquet('{FIXTURE_DIR}/media_features_expected.parquet')")
+    o["media_resize_meta"] = f"""
+        SELECT media_id, kind,
+               CASE WHEN kind = 'image' THEN 128 ELSE width END AS width,
+               CASE WHEN kind = 'image' THEN 96 ELSE height END AS height,
+               frames, payload_bytes, mean_byte
+        FROM read_parquet('{FIXTURE_DIR}/media_expected.parquet')"""
+    o["media_frame_sample"] = f"""
+        SELECT media_id, i AS frame_idx
+        FROM read_parquet('{FIXTURE_DIR}/media_expected.parquet'),
+             generate_series(0, 31, 4) AS g(i)
+        WHERE kind = 'video' AND i <= frames - 1"""
 
     # the full scale composition: LSH band candidates (from the signature
     # fixture) -> exact jaccard verify -> threshold, all recomputed in SQL

@@ -139,6 +139,102 @@ def decode_media_meta(df: DataFrame, media_col: str = "media",
     return df.select(F.col(id_col), F.col(media_col)).mapInArrow(fn, out_schema)
 
 
+def extract_features(df: DataFrame, media_col: str = "media",
+                     id_col: str = "media_id", dim: int = 16) -> DataFrame:
+    """Media -> fixed-dim feature vector (array<float>), vectorized.
+
+    The *feature extractor* is a stub (deterministic byte-histogram fold
+    standing in for a vision/audio model's embedding); the Spark plumbing —
+    batch shapes, fixed-size list output, null handling — is exactly what a
+    real model inference kernel (ONNX/torch in mapInArrow) plugs into.
+    """
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    out_schema = pa.schema([pa.field(id_col, pa.int64()),
+                            pa.field("feature", pa.list_(pa.float32()))])
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            med = b.column(1).cast(pa.large_binary())
+            o = np.frombuffer(med.buffers()[1], dtype=np.int64)[med.offset : med.offset + len(med) + 1]
+            data = np.frombuffer(med.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
+            lens = np.diff(o)
+            feats = np.zeros((len(ids), dim), dtype=np.float32)
+            if len(data):
+                # per-row byte histogram folded into `dim` buckets (the
+                # deterministic fake "embedding"); one bincount pass per
+                # bucket via modulo classes — no per-row python
+                row_of = np.repeat(np.arange(len(ids)), lens)
+                bucket = data.astype(np.int64) % dim
+                flat = np.zeros(len(ids) * dim, dtype=np.int64)
+                np.add.at(flat, row_of * dim + bucket, 1)
+                denom = np.maximum(lens, 1).astype(np.float32)[:, None]
+                feats = (flat.reshape(len(ids), dim) / denom).astype(np.float32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.ListArray.from_arrays(
+                     pa.array(np.arange(len(ids) + 1, dtype=np.int32) * dim),
+                     pa.array(feats.ravel(), type=pa.float32()))],
+                schema=out_schema)
+
+    return (df.select(F.col(id_col), F.col(media_col))
+              .mapInArrow(fn, from_arrow_schema(out_schema)))
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """Image resize plumbing: rows whose header says image get re-tagged
+    dimensions; the pixel *resample* is the stubbed step (payload passes
+    through). Non-image rows pass unchanged. Output schema mirrors input so
+    resize composes with encode/decode."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    out_schema = pa.schema([pa.field(id_col, pa.int64()),
+                            pa.field(media_col, pa.binary())])
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column(0)
+            med = b.column(1).cast(pa.large_binary())
+            o = np.frombuffer(med.buffers()[1], dtype=np.int64)[med.offset : med.offset + len(med) + 1]
+            data = np.frombuffer(med.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]].copy()
+            lens = np.diff(o)
+            ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            is_img = (lens >= 11) & (data[np.minimum(ofs + 4, max(len(data) - 1, 0))] == 0)
+            # patch width/height header fields in place (a real resize
+            # would also transform the payload via PIL here)
+            for pos, vals in ((5, width), (7, height)):
+                tgt = ofs[is_img] + pos
+                data[tgt] = vals & 0xFF
+                data[tgt + 1] = (vals >> 8) & 0xFF
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            arr = pa.Array.from_buffers(
+                pa.binary(), len(lens),
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+                null_count=0)
+            yield pa.RecordBatch.from_arrays([ids.cast(pa.int64()), arr],
+                                             schema=out_schema)
+
+    return (df.select(F.col(id_col), F.col(media_col))
+              .mapInArrow(fn, from_arrow_schema(out_schema)))
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, media_col: str = "media",
+                  id_col: str = "media_id") -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    index (explode shape), with deterministic per-frame payload slices
+    standing in for decoded frames. Non-video rows produce no output."""
+    meta = decode_media_meta(df, media_col, id_col)
+    return (meta.where(F.col("kind") == "video")
+            .select(F.col(id_col),
+                    F.posexplode(F.sequence(
+                        F.lit(0), F.col("frames") - 1, F.lit(every_n)))
+                     .alias("sample_idx", "frame_idx"))
+            .select(id_col, "frame_idx"))
+
+
 def _u16(data: np.ndarray, pos: np.ndarray, ok: np.ndarray) -> np.ndarray:
     lo = data[np.minimum(pos, len(data) - 1)].astype(np.int64)
     hi = data[np.minimum(pos + 1, len(data) - 1)].astype(np.int64)

@@ -271,3 +271,30 @@ def test_embedding_srp_finds_planted_neardups(spark):
     assert (500, 501) in out
     # precision is exact: nothing below threshold is reported
     assert all(c >= 0.98 for c in out.values())
+
+
+def test_multimodal_feature_resize_frames(spark):
+    from mapbox_vector_tile_java_spark.operators.multimodal import (
+        decode_media_meta, extract_features, resize_images, sample_frames,
+        synth_media_df)
+
+    df = synth_media_df(spark, 300, seed=9, partitions=2)
+    feats = extract_features(df, dim=16).collect()
+    assert len(feats) == 300
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-3 for r in feats)  # histogram
+
+    resized = resize_images(df, 128, 96)
+    meta = {r["media_id"]: r for r in decode_media_meta(resized).collect()}
+    orig = {r["media_id"]: r for r in decode_media_meta(df).collect()}
+    for mid, r in meta.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (128, 96)
+        else:  # non-image rows pass through untouched
+            assert (r["width"], r["height"]) == (orig[mid]["width"], orig[mid]["height"])
+        assert r["payload_bytes"] == orig[mid]["payload_bytes"]
+
+    frames = sample_frames(df, every_n=4).collect()
+    n_videos = sum(1 for r in orig.values() if r["kind"] == "video")
+    assert len(frames) >= n_videos  # >=1 sampled frame per video
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
