@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "text", "doc_id")
     q["text_quality"] = lambda s, d: T.quality_score(
         _read(s, d, "documents"), "text", "doc_id")
+    q["text_bpe_tokens"] = lambda s, d: T.bpe_token_stats(
+        _read(s, d, "documents"), "text", "doc_id")
     q["lang_id_stopwords"] = lambda s, d: T.lang_id(
         _read(s, d, "documents"), "text", "doc_id")
     q["doc_fingerprints"] = lambda s, d: T.fingerprint(
@@ -687,6 +689,18 @@ def oracle_sql() -> dict[str, str]:
                           len(regexp_split_to_array(trim(text), '\\s+')) END, 6)
                  AS avg_token_len
         FROM documents"""
+
+    o["text_bpe_tokens"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS bpe
+          FROM documents)
+        SELECT doc_id, ws AS n_ws_tokens, bpe AS n_bpe_tokens,
+               round(CASE WHEN ws > 0 THEN bpe * 1.0 / ws END, 6) AS bpe_per_ws
+        FROM t"""
 
     stop_en = "['the','of','and','to','in','is','that','for','it','with']"
     stop_de = "['der','die','das','und','ist','nicht','mit','ein','zu','den']"

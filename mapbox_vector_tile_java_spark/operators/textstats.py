@@ -117,6 +117,29 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8,
     )
 
 
+# BPE-style pre-tokenization pattern: letter runs, digit runs, single
+# punctuation marks — the class structure GPT-2-style tokenizers split on
+# first, restricted to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) so the oracle is exact
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counts under two tokenization models per document:
+    whitespace tokens and BPE-ish pre-tokens (letter/digit/punct units —
+    the upper bound a subword tokenizer refines). The ratio estimates
+    tokens-per-word for data budgeting."""
+    c = F.col(text_col)
+    ws = token_count(c)
+    bpe = F.size(F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(F.when(ws > 0, bpe.cast("double") / ws), 6)
+         .alias("bpe_per_ws"))
+
+
 # rolling-hash parameters: products stay under 2^52 so the kernel runs in
 # plain uint64 and the SQL oracle in BIGINT — both exact
 FP_MOD = 2_147_483_647        # 2^31 - 1 (Mersenne)

@@ -298,3 +298,16 @@ def test_multimodal_feature_resize_frames(spark):
     n_videos = sum(1 for r in orig.values() if r["kind"] == "video")
     assert len(frames) >= n_videos  # >=1 sampled frame per video
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_bpe_token_stats(spark):
+    from mapbox_vector_tile_java_spark.operators import textstats as T
+
+    df = spark.createDataFrame([Row(doc_id=0, text="Hello, world 42!"),
+                                Row(doc_id=1, text=""),
+                                Row(doc_id=2, text="   ")])
+    out = {r["doc_id"]: r for r in T.bpe_token_stats(df, "text", "doc_id").collect()}
+    # Hello , world 42 !  -> 5 bpe units; 3 whitespace tokens
+    assert out[0]["n_bpe_tokens"] == 5 and out[0]["n_ws_tokens"] == 3
+    assert out[1]["n_ws_tokens"] == 0 and out[1]["bpe_per_ws"] is None
+    assert out[2]["n_bpe_tokens"] == 0
