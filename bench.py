@@ -134,9 +134,11 @@ def main():
         "join_orders_customers", "agg_source_stats", "text_token_stats",
         "text_quality", "lang_id_stopwords", "doc_fingerprints",
         "doc_fingerprints_rolling", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_embedding_cosine", "ann_bruteforce_topk",
+        "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_srp",
+        "dedup_ngram_lsh_verified", "ann_bruteforce_topk",
         "ann_ivf_topk", "ann_ivf_recall", "roundtrip_lineitem",
-        "roundtrip_events", "roundtrip_struct_props",
+        "roundtrip_events", "roundtrip_struct_props", "roundtrip_decimal",
+        "text_bpe_tokens", "media_features", "transform_simplify_quantize",
     ]
     for name in suite:
         # min-of-2 on this noisy shared host (identical runs vary 4-7x);
