@@ -695,8 +695,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CASE WHEN length(trim(text)) = 0 THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
-                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                   AS bpe
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\x0b\f\r ]')) AS bpe
           FROM documents)
         SELECT doc_id, ws AS n_ws_tokens, bpe AS n_bpe_tokens,
                round(CASE WHEN ws > 0 THEN bpe * 1.0 / ws END, 6) AS bpe_per_ws

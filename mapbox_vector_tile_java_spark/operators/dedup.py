@@ -194,13 +194,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     temp table), so the self-join reads it twice from storage instead of
     recomputing the python kernel per side or pinning an executor cache.
     """
-    import tempfile
-
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
-    work_dir = work_dir or tempfile.mkdtemp(prefix="mvt_minhash_")
-    sigs.write.mode("overwrite").parquet(work_dir)
-    sigs = df.sparkSession.read.parquet(work_dir)
+    sigs = _materialize_fp(
+        minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed),
+        df.sparkSession, "mvt_minhash_", work_dir)
     key = ((lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)))
            if hash_bands else
            (lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)))
@@ -215,6 +212,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count("*").alias("n_bands")))
     return pairs
+
+
+def _materialize_fp(df: DataFrame, spark, prefix: str,
+                    work_dir: str | None = None) -> DataFrame:
+    """Land a fingerprint/signature stage as a parquet temp table so the
+    self-join reads it twice from storage instead of recomputing the
+    python kernel per side or pinning an executor cache for the session."""
+    import tempfile
+
+    work_dir = work_dir or tempfile.mkdtemp(prefix=prefix)
+    df.write.mode("overwrite").parquet(work_dir)
+    return spark.read.parquet(work_dir)
+
+
+def band_candidates(fp: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing >=1 block-pair band of their
+    64-bit fingerprints (simhash_band_exprs pigeonhole machinery)."""
+    banded = fp.select(
+        "id", F.posexplode(F.array(*simhash_band_exprs())).alias("band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
 
 
 def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
@@ -326,16 +348,12 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     self-join reads it from storage twice instead of recomputing the python
     kernel per side or pinning an executor cache for the session.
     """
-    import tempfile
-
     if max_hamming > 6:
         raise ValueError("recall guarantee covers max_hamming <= 6 "
                          "(8 blocks, pairs of blocks); got "
                          f"{max_hamming}")
-    fp = simhash_fingerprints(df, text_col, id_col, shingle_k)
-    work_dir = work_dir or tempfile.mkdtemp(prefix="mvt_simhash_")
-    fp.write.mode("overwrite").parquet(work_dir)
-    fp = df.sparkSession.read.parquet(work_dir)
+    fp = _materialize_fp(simhash_fingerprints(df, text_col, id_col, shingle_k),
+                         df.sparkSession, "mvt_simhash_", work_dir)
     return simhash_pairs_from_fps(fp, max_hamming)
 
 
@@ -419,32 +437,21 @@ def embedding_srp_pairs(df: DataFrame, vec_col: str, id_col: str,
     recall decays and the exact block-pair plan
     (embedding_neardup_pairs) or IVF bucketing is the right tool.
     """
-    import tempfile
+    from .similarity import _as_double, _dot, _norm
 
-    fp = srp_fingerprints(df, vec_col, id_col, seed)
-    work_dir = work_dir or tempfile.mkdtemp(prefix="mvt_srp_")
-    fp.write.mode("overwrite").parquet(work_dir)
-    fp = df.sparkSession.read.parquet(work_dir)
-    banded = fp.select(
-        "id", F.posexplode(F.array(*simhash_band_exprs())).alias("band", "bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+    fp = _materialize_fp(srp_fingerprints(df, vec_col, id_col, seed),
+                         df.sparkSession, "mvt_srp_", work_dir)
+    cands = band_candidates(fp)
     v = (df.where(F.col(vec_col).isNotNull())
            .select(F.col(id_col).cast("long").alias("id"),
-                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")))
-    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    v = v.select("id", "v", nrm.alias("nrm")).where(F.col("nrm") > 0)
+                   _as_double(F.col(vec_col)).alias("v")))
+    v = (v.select("id", "v", _norm(F.col("v")).alias("nrm"))
+          .where(F.col("nrm") > 0))
     va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                   F.col("nrm").alias("na"))
     vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                   F.col("nrm").alias("nb"))
-    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (cands.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= threshold))

@@ -163,12 +163,12 @@ def extract_features(df: DataFrame, media_col: str = "media",
             feats = np.zeros((len(ids), dim), dtype=np.float32)
             if len(data):
                 # per-row byte histogram folded into `dim` buckets (the
-                # deterministic fake "embedding"); one bincount pass per
-                # bucket via modulo classes — no per-row python
+                # deterministic fake "embedding") in one bincount pass —
+                # no per-row python
                 row_of = np.repeat(np.arange(len(ids)), lens)
                 bucket = data.astype(np.int64) % dim
-                flat = np.zeros(len(ids) * dim, dtype=np.int64)
-                np.add.at(flat, row_of * dim + bucket, 1)
+                flat = np.bincount(row_of * dim + bucket,
+                                   minlength=len(ids) * dim)
                 denom = np.maximum(lens, 1).astype(np.float32)[:, None]
                 feats = (flat.reshape(len(ids), dim) / denom).astype(np.float32)
             yield pa.RecordBatch.from_arrays(
@@ -194,26 +194,33 @@ def resize_images(df: DataFrame, width: int, height: int,
                             pa.field(media_col, pa.binary())])
 
     def fn(batches):
+        from ..codecs.primitives import pack_validity
+
         for b in batches:
             ids = b.column(0)
             med = b.column(1).cast(pa.large_binary())
+            valid = (med.is_valid().to_numpy(zero_copy_only=False)
+                     if med.null_count else np.ones(len(med), dtype=bool))
             o = np.frombuffer(med.buffers()[1], dtype=np.int64)[med.offset : med.offset + len(med) + 1]
             data = np.frombuffer(med.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]].copy()
             lens = np.diff(o)
             ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            is_img = (lens >= 11) & (data[np.minimum(ofs + 4, max(len(data) - 1, 0))] == 0)
-            # patch width/height header fields in place (a real resize
-            # would also transform the payload via PIL here)
-            for pos, vals in ((5, width), (7, height)):
-                tgt = ofs[is_img] + pos
-                data[tgt] = vals & 0xFF
-                data[tgt + 1] = (vals >> 8) & 0xFF
+            if len(data):
+                is_img = (lens >= 11) & (data[np.minimum(ofs + 4, len(data) - 1)] == 0)
+                # patch width/height header fields in place (a real resize
+                # would also transform the payload via PIL here)
+                for pos, vals in ((5, width), (7, height)):
+                    tgt = ofs[is_img] + pos
+                    data[tgt] = vals & 0xFF
+                    data[tgt + 1] = (vals >> 8) & 0xFF
             offsets = np.zeros(len(lens) + 1, dtype=np.int32)
             np.cumsum(lens, out=offsets[1:])
+            nulls = int(len(lens) - valid.sum())
+            vbuf = None if nulls == 0 else pa.py_buffer(pack_validity(valid))
             arr = pa.Array.from_buffers(
                 pa.binary(), len(lens),
-                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
-                null_count=0)
+                [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+                null_count=nulls)
             yield pa.RecordBatch.from_arrays([ids.cast(pa.int64()), arr],
                                              schema=out_schema)
 
@@ -227,7 +234,9 @@ def sample_frames(df: DataFrame, every_n: int = 4, media_col: str = "media",
     index (explode shape), with deterministic per-frame payload slices
     standing in for decoded frames. Non-video rows produce no output."""
     meta = decode_media_meta(df, media_col, id_col)
-    return (meta.where(F.col("kind") == "video")
+    # frames > 0 guard is load-bearing: sequence(0, -1, step) RAISES in
+    # Spark (same hazard as textstats.fingerprint's length guard)
+    return (meta.where((F.col("kind") == "video") & (F.col("frames") > 0))
             .select(F.col(id_col),
                     F.posexplode(F.sequence(
                         F.lit(0), F.col("frames") - 1, F.lit(every_n)))

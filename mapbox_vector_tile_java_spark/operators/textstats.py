@@ -119,9 +119,11 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8,
 
 # BPE-style pre-tokenization pattern: letter runs, digit runs, single
 # punctuation marks — the class structure GPT-2-style tokenizers split on
-# first, restricted to constructs with identical semantics in Java regex
-# (Spark) and RE2 (DuckDB) so the oracle is exact
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# first. Whitespace is an EXPLICIT class (\t \n \x0B \f \r space) because
+# the engines' \s differ at the margin (Java's includes \x0B, RE2's does
+# not) — with the explicit class the Spark query and DuckDB oracle agree
+# on every input byte, not just the bytes the gate corpus happens to have.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\x0B\f\r ]"
 
 
 def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
