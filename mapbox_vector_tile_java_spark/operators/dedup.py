@@ -169,7 +169,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                 [pa.array(ids[valid], type=pa.int64()), arr],
                 names=["id", "sig"])
 
-    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("id"),
+                            F.col(text_col)))
     return src.mapInArrow(fn, out_schema)
 
 
@@ -212,6 +213,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .agg(F.count("*").alias("n_bands")))
     return pairs
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input has
+    fewer partitions (e.g. one parquet file) — otherwise the vectorized
+    fingerprint kernels run on a single core. No-op on well-partitioned
+    inputs, so at scale this never adds a shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _materialize_fp(df: DataFrame, spark, prefix: str,
@@ -260,9 +272,15 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
            .where(F.size("g") > 0))
     a = g.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
     b = g.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
+    sa, sb = F.size("ga"), F.size("gb")
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    union = sa + sb - inter
+    # provably-sound size prefilter before the O(|set|) intersect:
+    # jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs failing the size
+    # ratio can never reach the threshold — on candidate-dense corpora this
+    # prunes most pairs with two scalar comparisons
     return (cands.join(a, "id_a").join(b, "id_b")
+            .where(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
             .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
@@ -308,7 +326,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
                  pa.array(fps.view(np.int64), type=pa.int64())],
                 names=["id", "simhash"])
 
-    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    src = _spread(df.select(F.col(id_col).cast("long").alias("id"),
+                            F.col(text_col)))
     return src.mapInArrow(fn, out_schema)
 
 
@@ -414,10 +433,10 @@ def srp_fingerprints(df: DataFrame, vec_col: str, id_col: str,
                  pa.array(fps.view(np.int64), type=pa.int64())],
                 names=["id", "simhash"])
 
-    src = (df.where(F.col(vec_col).isNotNull())
-             .select(F.col(id_col).cast("long").alias("id"),
-                     F.transform(F.col(vec_col),
-                                 lambda x: x.cast("double")).alias("v")))
+    src = _spread(df.where(F.col(vec_col).isNotNull())
+                    .select(F.col(id_col).cast("long").alias("id"),
+                            F.transform(F.col(vec_col),
+                                        lambda x: x.cast("double")).alias("v")))
     return src.mapInArrow(fn, out_schema)
 
 
