@@ -72,8 +72,26 @@ def main():
     # N=2 -> 4N=8 keeps both levels inside the host's quiet capacity; the
     # work units (n_parts) are identical at both levels.
     n_parts = 64
-    lo = run(lo_c, n_rows, n_parts)
-    hi = run(hi_c, n_rows, n_parts)
+    rounds = int(os.environ.get("SCALE_INTERLEAVE", "0"))
+    if rounds:
+        # interleave the levels so both sample the SAME noise windows
+        # (non-interleaved runs cluster each level in time, and ambient
+        # neighbor load then biases whichever level it overlaps); min per
+        # level across rounds is the steady-state estimate
+        lo_walls, hi_walls = [], []
+        lo = hi = None
+        for _ in range(rounds):
+            lo = run(lo_c, n_rows, n_parts)
+            lo_walls += lo["walls"]
+            hi = run(hi_c, n_rows, n_parts)
+            hi_walls += hi["walls"]
+        lo["wall"], lo["walls"] = min(lo_walls), lo_walls
+        hi["wall"], hi["walls"] = min(hi_walls), hi_walls
+        lo["gbps"] = lo["raw_bytes"] / 1e9 / lo["wall"]
+        hi["gbps"] = hi["raw_bytes"] / 1e9 / hi["wall"]
+    else:
+        lo = run(lo_c, n_rows, n_parts)
+        hi = run(hi_c, n_rows, n_parts)
     eff = (lo["wall"] / hi["wall"]) / (hi_c / lo_c)
     report = {
         "n_rows": n_rows, "n_parts": n_parts,

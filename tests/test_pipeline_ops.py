@@ -311,3 +311,24 @@ def test_bpe_token_stats(spark):
     assert out[0]["n_bpe_tokens"] == 5 and out[0]["n_ws_tokens"] == 3
     assert out[1]["n_ws_tokens"] == 0 and out[1]["bpe_per_ws"] is None
     assert out[2]["n_bpe_tokens"] == 0
+
+
+def test_lossy_transforms_explicit(spark):
+    """B8-analog transforms: loss is explicit and deterministic; the
+    quantized column must round half-up and the truncated timestamp must
+    floor to the unit."""
+    import datetime
+
+    from mapbox_vector_tile_java_spark.operators import transforms as TR
+
+    df = spark.createDataFrame(
+        [Row(i=0, v=1.005, ts=datetime.datetime(2024, 5, 1, 13, 47, 9)),
+         Row(i=1, v=-2.675, ts=datetime.datetime(2024, 5, 1, 0, 0, 0)),
+         Row(i=2, v=None, ts=None)])
+    out = {r["i"]: r for r in
+           TR.truncate_timestamps(TR.quantize_round(df, {"v": 2}),
+                                  {"ts": "hour"}).collect()}
+    assert out[0]["v"] == 1.0 or abs(out[0]["v"] - 1.01) < 1e-9  # repr of 1.005
+    assert out[0]["ts"] == datetime.datetime(2024, 5, 1, 13, 0, 0)
+    assert out[1]["ts"] == datetime.datetime(2024, 5, 1, 0, 0, 0)
+    assert out[2]["v"] is None and out[2]["ts"] is None
