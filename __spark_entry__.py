@@ -75,6 +75,12 @@ def _write_oracle_fixtures() -> None:
         t = pa.Table.from_batches(
             [gen_batch(np.arange(n, dtype=np.int64), seed=42)], schema=SCHEMA)
         pq.write_table(t, f"{FIXTURE_DIR}/{name}.parquet")
+    # spread-id stream (ids * 4887 -> ~2h event-time span) for the
+    # windowed/stateful streaming oracles
+    t = pa.Table.from_batches(
+        [gen_batch(np.arange(2000, dtype=np.int64) * 4887, seed=42)],
+        schema=SCHEMA)
+    pq.write_table(t, f"{FIXTURE_DIR}/stream_spread2000.parquet")
 
     # 3/4: simhash fingerprints + minhash signatures of the sf0.01 documents
     # (same numpy kernels as the Spark stage — the *join/banding logic* is
@@ -197,7 +203,7 @@ def _roundtrip(spark, sf_dir, table, key, cast_ts: list[str] = ()):
     the driver's value-hash compare IS the bit-identity gate."""
     src = _read(spark, sf_dir, table)
     out = tempfile.mkdtemp(prefix=f"mvt_rt_{table}_")
-    encode_table(plan_generic(src, 4, key), os.path.join(out, table))
+    encode_table(plan_generic(src, 4, key), os.path.join(out, table), n_parts=4)
     dec = decode_table(spark, os.path.join(out, table))
     cols = [F.unix_micros(F.col(c).cast("timestamp")).alias(f"{c}_us")
             if c in cast_ts else F.col(c) for c in src.columns]
@@ -248,7 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.create_map(F.lit("lang"), F.col("lang"),
                                     F.lit("src"), F.col("source")).alias("tags")))
         out = tempfile.mkdtemp(prefix="mvt_rt_struct_")
-        encode_table(plan_generic(src, 4, "doc_id"), os.path.join(out, "t"))
+        encode_table(plan_generic(src, 4, "doc_id"), os.path.join(out, "t"), n_parts=4)
         dec = decode_table(s, os.path.join(out, "t"))
         return dec.select(
             "doc_id",
@@ -268,7 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_d"),
                        F.col("l_discount").cast("decimal(4,2)").alias("disc_d")))
         out = tempfile.mkdtemp(prefix="mvt_rt_dec_")
-        encode_table(plan_generic(src, 4, "l_orderkey"), os.path.join(out, "t"))
+        encode_table(plan_generic(src, 4, "l_orderkey"), os.path.join(out, "t"), n_parts=4)
         dec = decode_table(s, os.path.join(out, "t"))
         return dec.select(
             "l_orderkey", "l_linenumber",
@@ -276,11 +282,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("disc_d") * 100).cast("long").alias("disc_cents"))
     q["roundtrip_decimal"] = _rt_decimal
 
-    # -- codec engine introspection (engine-specific -> rows-only checks)
+    # -- codec engine introspection. Self-consistency oracle: the encode
+    # lands at a FIXED path under FIXTURE_DIR, and DuckDB recomputes the
+    # per-column aggregation from the very manifest.parquet the engine
+    # aggregated — the engine's distributed groupBy is what's checked
+    # (a wrong manifest write, a dropped block, or a bad agg all diverge).
     def _compression_stats(s, d):
+        import shutil
+
         src = _read(s, d, "documents")
-        out = tempfile.mkdtemp(prefix="mvt_cmp_")
-        encode_table(plan_generic(src, 4, "doc_id"), os.path.join(out, "t"))
+        out = os.path.join(FIXTURE_DIR, "cmpstats")
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        encode_table(plan_generic(src, 4, "doc_id"), os.path.join(out, "t"),
+                     n_parts=4, resume=False)
         m = read_manifest(s, os.path.join(out, "t"))
         return (m.groupBy("name").agg(
                     F.sum("raw_bytes").alias("raw_bytes"),
@@ -369,7 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
         pdf = (src.repartition(8, F.floor(ts_us / F.lit(86_400_000_000 * 30)))
                   .sortWithinPartitions("ts"))
-        encode_table(pdf, os.path.join(out, "t"))
+        encode_table(pdf, os.path.join(out, "t"), n_parts=8)
         lo, hi = src.agg(F.min(ts_us), F.max(ts_us)).first()
         cut = lo + (hi - lo) // 3
         dec = decode_table(s, os.path.join(out, "t"),
@@ -398,7 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qt = TR.truncate_timestamps(
             TR.quantize_round(src, {"value": 2}), {"ts": "hour"})
         out = tempfile.mkdtemp(prefix="mvt_simplify_")
-        encode_table(plan_generic(qt, 4, "event_id"), os.path.join(out, "t"))
+        encode_table(plan_generic(qt, 4, "event_id"), os.path.join(out, "t"), n_parts=4)
         dec = decode_table(s, os.path.join(out, "t"))
         return dec.select(
             "event_id",
@@ -418,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints"] = lambda s, d: T.fingerprint(
         _read(s, d, "documents"), "text", "doc_id")
     q["doc_fingerprints_rolling"] = lambda s, d: T.fingerprint_rolling(
+        _read(s, d, "documents"), "text", "doc_id")
+    q["doc_fingerprints_winnow"] = lambda s, d: T.fingerprint_winnow(
         _read(s, d, "documents"), "text", "doc_id")
 
     # -- dedup family
@@ -514,6 +531,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("html").alias("html_len"), "text", "lang")
     q["streaming_ingest_roundtrip"] = _streaming_ingest
 
+    # -- streaming analytics: event-time windowed agg + custom stateful op,
+    # both over a deterministic 2-micro-batch file stream with SPREAD row
+    # ids (ids * 4887 -> ~2h of event time, so the window agg produces many
+    # windows). DuckDB recomputes both from the same generator fixture.
+    def _stream_src(s, root):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from mapbox_vector_tile_java_spark.sources.webtext import SCHEMA, gen_batch
+
+        src = os.path.join(root, "in")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000)]):
+            ids = np.arange(lo, hi, dtype=np.int64) * 4887
+            t = pa.Table.from_batches([gen_batch(ids, seed=42)], schema=SCHEMA)
+            p = os.path.join(src, f"chunk-{i}.parquet")
+            pq.write_table(t, p)
+            # distinct mtimes pin the batch order (the file source orders
+            # by modification time; same-second writes would tie)
+            os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        return (s.readStream.schema(from_arrow_schema(SCHEMA))
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def _streaming_windowed(s, d):
+        from mapbox_vector_tile_java_spark.streaming.windowed import (
+            windowed_ingest_stats)
+
+        root = tempfile.mkdtemp(prefix="mvt_swin_")
+        agg = windowed_ingest_stats(_stream_src(s, root),
+                                    window="10 minutes", watermark="30 minutes")
+        name = "mvt_win_" + os.path.basename(root).split("_")[-1]
+        # complete mode -> every window's final value lands in the sink
+        # (append mode would hold back windows the watermark hasn't closed)
+        qy = (agg.writeStream.outputMode("complete")
+                 .format("memory").queryName(name).start())
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        return (s.table(name)
+                 .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                         "n_docs", "total_bytes", "n_langs"))
+    q["streaming_windowed_stats"] = _streaming_windowed
+
+    def _streaming_host_profile(s, d):
+        from mapbox_vector_tile_java_spark.streaming.windowed import (
+            host_profile_stream)
+
+        root = tempfile.mkdtemp(prefix="mvt_shost_")
+        prof = host_profile_stream(_stream_src(s, root))
+        out = os.path.join(root, "out")
+
+        def sink(bdf, bid):  # land update-mode emissions per micro-batch
+            bdf.write.mode("append").parquet(out)
+
+        qy = (prof.writeStream.outputMode("update").foreachBatch(sink)
+                  .option("checkpointLocation", os.path.join(root, "ckpt"))
+                  .start())
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        # every emission is a row: hosts seen in both batches appear twice,
+        # with cumulative (running) totals — exactly what the SQL oracle
+        # reconstructs per (host, batch) from the generator fixture
+        return s.read.parquet(out)
+    q["streaming_host_profile"] = _streaming_host_profile
+
     return q
 
 
@@ -527,6 +614,51 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/webtext5000.parquet')")
     o["streaming_ingest_roundtrip"] = (
         f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet')")
+
+    o["compression_stats_documents"] = f"""
+        SELECT name, CAST(sum(raw_bytes) AS BIGINT) AS raw_bytes,
+               CAST(sum(enc_bytes) AS BIGINT) AS enc_bytes,
+               count(*) AS n_blocks
+        FROM read_parquet('{FIXTURE_DIR}/cmpstats/t/manifest.parquet/*.parquet')
+        GROUP BY name ORDER BY name"""
+
+    o["streaming_windowed_stats"] = f"""
+        SELECT (epoch_us(warc_ts) // 600000000) * 600000000 AS win_start_us,
+               count(*) AS n_docs,
+               CAST(sum(coalesce(length(text), 0)
+                        + coalesce(octet_length(html), 0)) AS BIGINT)
+                 AS total_bytes,
+               CAST(count(DISTINCT lang) AS INT) AS n_langs
+        FROM read_parquet('{FIXTURE_DIR}/stream_spread2000.parquet')
+        GROUP BY 1"""
+
+    # reconstruct the update-mode emission stream: one row per (host, batch
+    # the host appears in) carrying RUNNING totals over batches <= b —
+    # exactly what applyInPandasWithState emits across the two micro-batches
+    o["streaming_host_profile"] = f"""
+        WITH r AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 coalesce(length(text), 0) + coalesce(octet_length(html), 0)
+                   AS nbytes,
+                 epoch_us(warc_ts) AS ts_us,
+                 CAST(regexp_extract(url, '-([0-9]+)$', 1) AS BIGINT) AS rid
+          FROM read_parquet('{FIXTURE_DIR}/stream_spread2000.parquet')),
+        b AS (SELECT host, nbytes, ts_us,
+                     CASE WHEN rid < 4887000 THEN 0 ELSE 1 END AS batch
+              FROM r),
+        a AS (SELECT host, batch, count(*) AS n, sum(nbytes) AS bts,
+                     min(ts_us) AS f, max(ts_us) AS l
+              FROM b GROUP BY host, batch),
+        c AS (SELECT host, batch,
+                     CAST(sum(n) OVER w AS BIGINT) AS n_docs,
+                     CAST(sum(bts) OVER w AS BIGINT) AS total_bytes,
+                     min(f) OVER w AS first_seen_us,
+                     max(l) OVER w AS last_seen_us
+              FROM a WINDOW w AS (PARTITION BY host ORDER BY batch
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT host, n_docs, total_bytes, first_seen_us, last_seen_us
+        FROM c"""
 
     # exact all-pairs hamming join over the fingerprint table — the banding
     # join's recall guarantee (simhash_band_exprs pigeonhole) makes the
@@ -738,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'fr' END AS lang_pred
         FROM h"""
 
-    grams8 = ("list_transform(range(1, greatest(length(text) - 7, 0) + 1, 4), "
+    grams8 = ("list_transform(range(1, greatest(length(text) - 7, 0) + 1), "
               "i -> md5(substring(text, i, 8)))")
     o["doc_fingerprints"] = f"""
         SELECT doc_id, md5(text) AS md5_full,
@@ -746,18 +878,40 @@ def oracle_sql() -> dict[str, str]:
                  AS min_gram_md5
         FROM documents"""
 
-    o["doc_fingerprints_rolling"] = """
+    # the rolling/winnow kernels hash UTF-8 BYTES; these oracles hash
+    # per-character code points — identical only on ascii text. The guard
+    # makes any future non-ascii gate corpus fail LOUDLY instead of
+    # silently diverging.
+    ascii_guard = ("CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN "
+                   "error('non-ascii text: char-based rolling-hash oracle "
+                   "diverges from the byte-based kernel') ELSE TRUE END")
+    roll_hash = ("list_transform(range(1, length(text) - 8 + 2), "
+                 "i -> list_reduce("
+                 "list_transform(range(0, 8), "
+                 "j -> unicode(substring(text, i + j, 1))), "
+                 "(acc, c) -> (CAST(acc AS BIGINT) * 1000003 + c) "
+                 "% 2147483647))")
+    o["doc_fingerprints_rolling"] = f"""
         SELECT doc_id AS id,
-               CASE WHEN length(text) >= 8 THEN
-                 list_min(list_transform(range(1, length(text) - 8 + 2),
-                   i -> list_reduce(
-                          list_transform(range(0, 8),
-                                         j -> unicode(substring(text, i + j, 1))),
-                          (acc, c) -> (CAST(acc AS BIGINT) * 1000003 + c)
-                                       % 2147483647)))
+               CASE WHEN length(text) >= 8 THEN list_min({roll_hash})
                ELSE NULL END AS min_gram_hash,
                greatest(length(text) - 7, 0) AS n_grams
-        FROM documents WHERE text IS NOT NULL"""
+        FROM documents WHERE text IS NOT NULL AND {ascii_guard}"""
+
+    o["doc_fingerprints_winnow"] = f"""
+        WITH h AS (
+          SELECT doc_id, {roll_hash} AS hs
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 8 AND {ascii_guard}),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_transform(range(1, len(hs) - 4 + 2),
+                                  i -> list_min(list_slice(hs, i, i + 3)))
+                 ELSE [list_min(hs)] END AS wins
+          FROM h)
+        SELECT DISTINCT id, fp FROM (
+          SELECT doc_id AS id, unnest(wins) AS fp FROM w)"""
 
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 

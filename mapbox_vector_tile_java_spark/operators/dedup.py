@@ -226,14 +226,30 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+_FP_TMP_DIRS: list[str] = []
+
+
 def _materialize_fp(df: DataFrame, spark, prefix: str,
                     work_dir: str | None = None) -> DataFrame:
     """Land a fingerprint/signature stage as a parquet temp table so the
     self-join reads it twice from storage instead of recomputing the
-    python kernel per side or pinning an executor cache for the session."""
+    python kernel per side or pinning an executor cache for the session.
+
+    Callers who pass ``work_dir`` own its lifecycle. Auto-created temp dirs
+    are tracked and removed at interpreter exit (they must outlive the
+    returned DataFrame, which lazily re-reads the files, so they cannot be
+    deleted any earlier)."""
     import tempfile
 
-    work_dir = work_dir or tempfile.mkdtemp(prefix=prefix)
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix=prefix)
+        if not _FP_TMP_DIRS:
+            import atexit
+            import shutil
+
+            atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True)
+                                     for d in _FP_TMP_DIRS])
+        _FP_TMP_DIRS.append(work_dir)
     df.write.mode("overwrite").parquet(work_dir)
     return spark.read.parquet(work_dir)
 

@@ -27,9 +27,6 @@ import pyarrow.parquet as pq
 from ..columns import encode_column
 from ..plans import manifest as M
 
-GLOBAL_DICT_MAX = 4096  # max distinct values for a global-dict column
-
-
 def _minmax_i64(arr: pa.Array):
     """Zone-map min/max for int-like columns (decode-side pruning, the
     manifest analog of the reference's AABB pre-filter, JtsAdapter.java:232)."""
@@ -126,40 +123,10 @@ def make_encode_fn(out_dir: str, overrides: dict, resume: bool,
     return fn
 
 
-def build_global_dicts(df, cols: list[str] | str = "auto") -> dict:
-    """Collect sorted distinct values for low-cardinality string columns.
-
-    Returns {col: (symtab_id, [bytes,...])}. 'auto' probes string columns on
-    a sampled head: short average length + low distinct count -> candidate
-    (one cheap job), then one distinct-collect job per winner.
-    """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType
-
-    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
-    if cols == "auto":
-        if not str_cols:
-            return {}
-        probe = df.select(str_cols).limit(50_000).agg(
-            *[F.approx_count_distinct(c).alias(f"acd_{c}") for c in str_cols],
-            *[F.avg(F.length(c)).alias(f"len_{c}") for c in str_cols]).first()
-        cols = [c for c in str_cols
-                if probe[f"acd_{c}"] <= GLOBAL_DICT_MAX * 0.5
-                and (probe[f"len_{c}"] or 0) <= 64]
-    out = {}
-    for i, c in enumerate(cols):
-        vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull())
-                .distinct().orderBy(c).collect()]
-        if len(vals) > GLOBAL_DICT_MAX:
-            continue
-        out[c] = (i, [v.encode() if isinstance(v, str) else bytes(v) for v in vals])
-    return out
-
-
 def encode_table(df, out_dir: str, *, plan: str = "global",
                  sample: "pa.Table | None" = None,
                  codec_overrides: dict | None = None, resume: bool = True,
-                 config_note: dict | None = None):
+                 config_note: dict | None = None, n_parts: int | None = None):
     """Encode a (pre-partitioned) DataFrame. Returns the manifest table.
 
     Callers should partition first (plans.partitioning.plan_webtext /
@@ -179,6 +146,11 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
     sample the UNSHUFFLED input — sampling `df` itself would pay its
     shuffle twice, since recompiled DataFrame actions do not reuse
     exchanges across jobs).
+
+    ``n_parts``: the planned partition count, recorded in meta.json. Pass
+    it when known (the partition planners know it) — the fallback probes
+    ``df.rdd.getNumPartitions()``, which forces a DataFrame->RDD plan
+    conversion, an avoidable analysis pass on a 100 TB plan.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -225,7 +197,8 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
 
     M.write_meta(out_dir, schema, symtabs,
                  {"note": config_note or {}, "plan": plan_note,
-                  "n_parts": df.rdd.getNumPartitions()})
+                  "n_parts": n_parts if n_parts is not None
+                             else df.rdd.getNumPartitions()})
     mdf = df.mapInArrow(make_encode_fn(out_dir, overrides, resume, schema),
                         M.manifest_spark_schema())
     # one action runs the whole job; the manifest lands from the EXECUTORS
@@ -251,5 +224,6 @@ def encode_webtext(df, out_dir: str, n_parts: int, url_col: str = "url",
     hot = hot_keys_from_sample(sample, url_col, n_parts)
     planned = plan_webtext(df, n_parts, url_col=url_col, hot_hosts=hot)
     return encode_table(planned, out_dir, sample=sample, resume=resume,
+                        n_parts=n_parts,
                         config_note={**(config_note or {}),
                                      "hot_hosts": hot})

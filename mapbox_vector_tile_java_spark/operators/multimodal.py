@@ -154,12 +154,13 @@ def extract_features(df: DataFrame, media_col: str = "media",
                             pa.field("feature", pa.list_(pa.float32()))])
 
     def fn(batches):
+        from .dedup import _bytes_view
+
         for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            med = b.column(1).cast(pa.large_binary())
-            o = np.frombuffer(med.buffers()[1], dtype=np.int64)[med.offset : med.offset + len(med) + 1]
-            data = np.frombuffer(med.buffers()[2] or b"", dtype=np.uint8)[o[0] : o[-1]]
-            lens = np.diff(o)
+            # null media rows are DROPPED (no feature row) — a null blob
+            # must never masquerade as an all-zero embedding
+            valid, lens, data = _bytes_view(b.column(1))
+            ids = b.column(0).to_numpy(zero_copy_only=False)[valid]
             feats = np.zeros((len(ids), dim), dtype=np.float32)
             if len(data):
                 # per-row byte histogram folded into `dim` buckets (the

@@ -231,9 +231,21 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
     spark = df.sparkSession
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="mvt_ivf_")
-    if not os.path.exists(os.path.join(index_dir, "ivf_meta.json")):
+    meta_path = os.path.join(index_dir, "ivf_meta.json")
+    if not os.path.exists(meta_path):
         build_ivf_index(df, vec_col, id_col, index_dir,
                         n_centroids=n_centroids, seed=seed)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # a reused index must match the caller's build parameters — silently
+    # answering from a differently-shaped or differently-seeded index would
+    # return stale results with no warning
+    if meta.get("n_centroids") != n_centroids or meta.get("seed") != seed:
+        raise ValueError(
+            f"index at {index_dir} was built with n_centroids="
+            f"{meta.get('n_centroids')}, seed={meta.get('seed')} but caller "
+            f"requested n_centroids={n_centroids}, seed={seed}; pass a "
+            f"fresh index_dir (or delete the stale index) to rebuild")
     C = load_centroids(index_dir)
     base = spark.read.parquet(os.path.join(index_dir, "assignments"))
 

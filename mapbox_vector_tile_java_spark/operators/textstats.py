@@ -87,17 +87,23 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8,
-                stride: int = 4) -> DataFrame:
+                stride: int = 1) -> DataFrame:
     """Document fingerprints:
     - md5_full: content hash of the exact text bytes
-    - min_gram_md5: winnowing-style fingerprint = min md5 over char k-grams
-      at every ``stride``-th position (stable under document reordering;
-      both reproducible in SQL). The stride is classic winnowing sampling —
-      it cuts the per-doc md5 count by ``stride`` with the same
-      dedup-detection power; stride=1 recovers the exhaustive variant.
+    - min_gram_md5: min md5 over ALL char k-grams (stride=1, the default).
+      The global min over the full gram set is stable under document
+      reordering: two documents with the same content in a different order
+      share min_gram_md5 exactly. Both columns are reproducible in SQL.
 
-    For the JVM-md5-free scale path over long documents see
-    fingerprint_rolling (one vectorized pass, ~100x cheaper per byte).
+    ``stride > 1`` is an opt-in *positional sample* (every stride-th gram
+    position). It is NOT winnowing and weakens the reordering-stability
+    property: shifted/reordered copies sample different gram subsets, so
+    the probability both sides retain the global-min gram drops to roughly
+    1/stride per side. Use it only when an approximate content sketch is
+    acceptable; for cheap fingerprints with a real guarantee use
+    fingerprint_rolling (exact global min, one vectorized pass, no per-gram
+    JVM hashing) or fingerprint_winnow (true winnowing: shared substrings
+    of length >= window + k - 1 are GUARANTEED to share a fingerprint).
     """
     c = F.col(text_col)
     # the length guard is load-bearing: sequence(1, 0, step) RAISES in
@@ -197,3 +203,80 @@ def fingerprint_rolling(df: DataFrame, text_col: str, id_col: str,
 
     src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
     return src.mapInArrow(fn, from_arrow_schema(out_schema))
+
+
+def fingerprint_winnow(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 8, window: int = 4) -> DataFrame:
+    """TRUE winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the distinct minima of every sliding ``window`` of consecutive k-gram
+    rolling hashes. Guarantee: two documents sharing any substring of
+    length >= window + k - 1 share at least one fingerprint — the property
+    positional sampling (fingerprint(stride=...)) cannot give.
+
+    Returns exploded (id, fp) rows, one per distinct fingerprint — the
+    shape a dedup index joins on. Documents with fewer than ``window``
+    grams contribute min-of-all-grams (one fingerprint); documents shorter
+    than k contribute no rows.
+
+    Cost: one vectorized numpy pass (rolling hashes + sliding-window min);
+    no per-gram JVM hashing, so it IS the scale path. The .distinct() is
+    the only shuffle, and it is the dedup-index build itself.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .dedup import _bytes_view
+
+    out_schema = pa.schema([pa.field("id", pa.int64()),
+                            pa.field("fp", pa.int64())])
+
+    def fn(batches):
+        B, M = np.uint64(FP_BASE), np.uint64(FP_MOD)
+        w = window
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            valid, lens, data = _bytes_view(batch.column(1))
+            vids = ids[valid]
+            n_gr = np.maximum(lens - (k - 1), 0)
+            if len(data) < k or int(n_gr.sum()) == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64())], schema=out_schema)
+                continue
+            h = np.zeros(len(data) - (k - 1), dtype=np.uint64)
+            for j in range(k):
+                h = (h * B + data[j : len(data) - (k - 1) + j]) % M
+            from ..codecs.gather import multi_range
+
+            doc_ofs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            nz = n_gr > 0
+            g = h[multi_range(doc_ofs[nz], n_gr[nz])]  # doc-concatenated grams
+            cnt = n_gr[nz]
+            starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            # sliding min over the flat gram-hash array, then per-doc select
+            # only the windows fully inside the doc; short docs (0 < grams
+            # < window) fall back to min-of-all-grams
+            n_win = np.maximum(cnt - w + 1, 1)
+            out_id = np.repeat(vids[nz], n_win)
+            if len(g) >= w:
+                sw = np.lib.stride_tricks.sliding_window_view(g, w).min(axis=1)
+            else:
+                sw = np.empty(0, dtype=np.uint64)
+            full = cnt >= w
+            fps = np.empty(int(n_win.sum()), dtype=np.uint64)
+            dst = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+            if full.any():
+                fps[multi_range(dst[full], n_win[full])] = \
+                    sw[multi_range(starts[full], n_win[full])]
+            if (~full).any():
+                mins = np.minimum.reduceat(g, starts)
+                fps[dst[~full]] = mins[~full]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=pa.int64()),
+                 pa.array(fps.view(np.int64), type=pa.int64())],
+                schema=out_schema)
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    src = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    return src.mapInArrow(fn, from_arrow_schema(out_schema)).distinct()

@@ -35,7 +35,12 @@ def windowed_ingest_stats(stream_df: DataFrame, window: str = "1 hour",
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.coalesce(F.length("text"), F.lit(0))
                        + F.coalesce(F.length("html"), F.lit(0))).alias("total_bytes"),
-                 F.approx_count_distinct("lang").alias("n_langs")))
+                 # exact distinct via collect_set: lang is a bounded-
+                 # cardinality code (~50 values), so per-window state is
+                 # O(langs) — and the result is oracle-reproducible, unlike
+                 # approx_count_distinct's HLL estimate (swap back for
+                 # genuinely unbounded grouping columns)
+                 F.size(F.collect_set("lang")).alias("n_langs")))
 
 
 HOST_PROFILE_SCHEMA = ("host string, n_docs long, total_bytes long, "
@@ -88,11 +93,16 @@ def host_profile_stream(stream_df: DataFrame, timeout_ms: int = 0,
             [{"host": key[0], "n_docs": n, "total_bytes": b,
               "first_seen_us": first, "last_seen_us": last}])
 
-    prepared = stream_df.select(
-        host_expr(url_col).alias("host"),
-        (F.coalesce(F.length("text"), F.lit(0))
-         + F.coalesce(F.length("html"), F.lit(0))).cast("long").alias("nbytes"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"))
+    # rows with a null timestamp are dropped up front: unix_micros(NULL)
+    # becomes NaN inside the pandas batch and int(ts.min()) would raise,
+    # failing the whole streaming query
+    prepared = (stream_df
+                .where(F.col(ts_col).isNotNull())
+                .select(
+                    host_expr(url_col).alias("host"),
+                    (F.coalesce(F.length("text"), F.lit(0))
+                     + F.coalesce(F.length("html"), F.lit(0))).cast("long").alias("nbytes"),
+                    F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us")))
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0
                else GroupStateTimeout.NoTimeout)
     return (prepared.groupBy("host")

@@ -332,3 +332,75 @@ def test_lossy_transforms_explicit(spark):
     assert out[0]["ts"] == datetime.datetime(2024, 5, 1, 13, 0, 0)
     assert out[1]["ts"] == datetime.datetime(2024, 5, 1, 0, 0, 0)
     assert out[2]["v"] is None and out[2]["ts"] is None
+
+
+def test_fingerprint_winnow_guarantee(spark):
+    """True winnowing: documents sharing a substring of length
+    >= window + k - 1 MUST share at least one fingerprint — including
+    under reordering; positional sampling cannot give this."""
+    from mapbox_vector_tile_java_spark.operators import textstats as T
+
+    shared = "a very distinctive shared passage"  # len 33 >= 4 + 8 - 1
+    rows = [Row(doc_id=0, text="prefix one " + shared + " tail alpha"),
+            Row(doc_id=1, text="x" + shared + " completely different end"),
+            Row(doc_id=2, text="unrelated content with nothing in common?"),
+            Row(doc_id=3, text="short"),   # < k grams -> no rows
+            Row(doc_id=4, text=None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = T.fingerprint_winnow(df, "text", "doc_id", k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2] & by_doc[1])
+    assert 3 not in by_doc and 4 not in by_doc
+    # distinct: no duplicate (id, fp) rows
+    assert len(fps) == sum(len(v) for v in by_doc.values())
+    # fewer-grams-than-window doc -> exactly one fingerprint (min of grams)
+    one = spark.createDataFrame([Row(doc_id=9, text="abcdefghi")],
+                                "doc_id long, text string")  # 2 grams < 4
+    got = T.fingerprint_winnow(one, "text", "doc_id", k=8, window=4).collect()
+    assert len(got) == 1
+
+
+def test_fingerprint_stride_default_exact(spark):
+    """Default fingerprint is the exact global min over ALL grams: stable
+    under document reordering (the property the strided sample loses)."""
+    from mapbox_vector_tile_java_spark.operators import textstats as T
+
+    blk1, blk2 = "A" * 40 + " unique block one ", "distinct second block " + "B" * 40
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=blk1 + blk2), Row(doc_id=1, text=blk2 + blk1)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["min_gram_md5"]
+           for r in T.fingerprint(df, "text", "doc_id").collect()}
+    # global min over the union of (almost identical) gram sets: the min
+    # gram of doc 0 exists in doc 1 too unless it straddles the block seam;
+    # with 40-char runs the min gram is inside a block -> equal mins
+    assert out[0] == out[1]
+
+
+def test_ivf_index_param_mismatch_raises(spark, vectors, tmp_path):
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(vectors, "embedding", "vec_id", idx, n_centroids=4)
+    with pytest.raises(ValueError, match="n_centroids"):
+        S.ivf_topk(vectors, "embedding", "vec_id", [0], k=3,
+                   n_centroids=8, n_probe=3, index_dir=idx)
+    with pytest.raises(ValueError, match="seed"):
+        S.ivf_topk(vectors, "embedding", "vec_id", [0], k=3,
+                   n_centroids=4, n_probe=3, seed=7, index_dir=idx)
+
+
+def test_extract_features_drops_null_media(spark):
+    """A null media blob must NOT become an all-zero embedding row."""
+    from mapbox_vector_tile_java_spark.operators.multimodal import (
+        extract_features)
+
+    df = spark.createDataFrame(
+        [Row(media_id=0, media=bytearray(b"FMV1" + b"\x00" * 7 + b"abc")),
+         Row(media_id=1, media=None),
+         Row(media_id=2, media=bytearray(b""))],
+        "media_id long, media binary")
+    rows = extract_features(df, dim=4).collect()
+    got = {r["media_id"] for r in rows}
+    assert got == {0, 2}  # null dropped; empty (valid) blob stays
