@@ -267,10 +267,68 @@ def band_candidates(fp: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _gram_records(lst: pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """list<string> column -> (per-row gram counts, fixed-width byte records
+    of all grams: 1 length byte + gram bytes zero-padded to ``width``).
+    The length prefix keeps distinct grams distinct even when one is a
+    zero-padded prefix of another (e.g. text containing NUL bytes)."""
+    counts = lst.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
+    vals = lst.flatten()
+    _, lens, data = _bytes_view(vals)
+    if lens.size and int(lens.max()) > width:
+        raise ValueError(f"gram byte length {int(lens.max())} exceeds "
+                         f"record width {width}")
+    from ..codecs.gather import multi_range
+
+    nrec = len(vals)
+    rec = np.zeros(nrec * (width + 1), dtype=np.uint8)
+    rec[np.arange(nrec) * (width + 1)] = lens
+    rec[multi_range(np.arange(nrec) * (width + 1) + 1, lens)] = data
+    return counts.astype(np.int64), rec.view(f"S{width + 1}")
+
+
+def _gram_record_df(df: DataFrame, text_col: str, id_col: str,
+                    k: int) -> DataFrame:
+    """(id, cnt, rec): each doc's distinct char-k-gram set packed into ONE
+    binary blob of bytewise-sorted fixed-width records (see _gram_records).
+    The packed form is what the block-pair verify ships — one blob per doc,
+    never one gram-string array per candidate pair."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    width = 4 * k  # utf-8 worst case: 4 bytes per char
+    g = (df.select(F.col(id_col).cast("long").alias("id"),
+                   gram_set_expr(text_col, k).alias("g"))
+           .where(F.size("g") > 0))
+    out_schema = pa.schema([pa.field("id", pa.int64()),
+                            pa.field("cnt", pa.int64()),
+                            pa.field("rec", pa.binary())])
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            cnts, recs = _gram_records(batch.column(1), width)
+            off = np.concatenate(([0], np.cumsum(cnts)))
+            blobs = []
+            for i in range(n):
+                r = np.sort(recs[off[i] : off[i + 1]])
+                blobs.append(r.tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(cnts, type=pa.int64()),
+                 pa.array(blobs, type=pa.binary())],
+                schema=out_schema)
+
+    return g.mapInArrow(fn, from_arrow_schema(out_schema))
+
+
 def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
                       k: int = 3, threshold: float = 0.5,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, seed: int = 42,
+                      block_rows: int = 512,
                       work_dir: str | None = None) -> DataFrame:
     """Scale-path near-dup detection: minhash-LSH candidate pairs, then
     EXACT char-k-gram jaccard computed only on the candidates.
@@ -280,25 +338,146 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
     cluster sizes, not corpus size. Recall is the LSH recall (1-(1-j^r)^b;
     >=0.99 for j>=0.8 at 64/16); precision is exact (every reported pair
     carries its true jaccard). Returns (id_a, id_b, jaccard).
+
+    Verify plan (the round-2 32.7s wall was here): gram sets are packed
+    once per doc into sorted fixed-width records (_gram_record_df), docs
+    are grouped into hash blocks, candidate pairs are grouped by their
+    (block_a, block_b) key, and ONE Arrow kernel per block pair intersects
+    integer gram codes with numpy searchsorted. Each doc's gram set
+    crosses the wire once per partner BLOCK — not once per candidate pair,
+    which is what made both the Catalyst array_intersect plan and the
+    naive per-pair-kernel plan transfer-bound on candidate-dense corpora.
+    Exactness: records carry full gram bytes (length-prefixed, no
+    hashing), and double division + half-away rounding match the ANSI
+    oracle bit-for-bit.
     """
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import (BinaryType, IntegerType, StructField,
+                                   StructType)
+
+    width = 4 * k
+    spark = df.sparkSession
     cands = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands,
                               shingle_k, seed, work_dir=work_dir)
-    g = (df.select(F.col(id_col).cast("long").alias("id"),
-                   gram_set_expr(text_col, k).alias("g"))
-           .where(F.size("g") > 0))
-    a = g.select(F.col("id").alias("id_a"), F.col("g").alias("ga"))
-    b = g.select(F.col("id").alias("id_b"), F.col("g").alias("gb"))
-    sa, sb = F.size("ga"), F.size("gb")
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = sa + sb - inter
-    # provably-sound size prefilter before the O(|set|) intersect:
-    # jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs failing the size
-    # ratio can never reach the threshold — on candidate-dense corpora this
-    # prunes most pairs with two scalar comparisons
-    return (cands.join(a, "id_a").join(b, "id_b")
-            .where(F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
-            .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    fp = _materialize_fp(_gram_record_df(df, text_col, id_col, k),
+                         spark, "mvt_gramrec_")
+    n = fp.count()  # parquet metadata count on the materialized stage
+    n_blocks = max(1, -(-n // block_rows))
+    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
+
+    pack_schema = StructType([
+        StructField("b", IntegerType(), False),
+        StructField("ids", BinaryType(), False),
+        StructField("cnts", BinaryType(), False),
+        StructField("recs", BinaryType(), False),
+    ])
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        cnts = pdf["cnt"].to_numpy(dtype=np.int64)
+        recs = b"".join(pdf["rec"])
+        return pd.DataFrame({"b": [int(pdf["b"].iloc[0])],
+                             "ids": [ids.tobytes()],
+                             "cnts": [cnts.tobytes()], "recs": [recs]})
+
+    packed = (fp.withColumn("b", blk("id"))
+                .groupBy("b").applyInPandas(pack, pack_schema))
+
+    # size-ratio prefilter (jaccard <= min|A|,|B| / max|A|,|B|) on the tiny
+    # (id, cnt) side table — prunes pairs that can never reach threshold
+    # before any gram bytes move
+    sizes = fp.select("id", "cnt")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("cnt").alias("ca"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("cnt").alias("cb"))
+    pruned = (cands.join(sa, "id_a").join(sb, "id_b")
+              .where(F.least("ca", "cb") >= F.lit(threshold) * F.greatest("ca", "cb"))
+              .select("id_a", "id_b"))
+
+    grouped = (pruned
+               .groupBy(blk("id_a").alias("ba"), blk("id_b").alias("bb"))
+               .agg(F.collect_list(F.struct("id_a", "id_b")).alias("prs")))
+    x, y = packed.alias("x"), packed.alias("y")
+    joined = (grouped
+              .join(x, F.col("ba") == F.col("x.b"))
+              .join(y, F.col("bb") == F.col("y.b"))
+              .select("prs", F.col("x.ids").alias("ids_x"),
+                      F.col("x.cnts").alias("cnts_x"),
+                      F.col("x.recs").alias("recs_x"),
+                      F.col("y.ids").alias("ids_y"),
+                      F.col("y.cnts").alias("cnts_y"),
+                      F.col("y.recs").alias("recs_y")))
+
+    out_schema = pa.schema([pa.field("id_a", pa.int64()),
+                            pa.field("id_b", pa.int64()),
+                            pa.field("jaccard", pa.float64())])
+
+    def _unpack(bts, cnt_bts):
+        ids = np.frombuffer(bts, dtype=np.int64)
+        cnts = np.frombuffer(cnt_bts, dtype=np.int64)
+        return ids, cnts, np.concatenate(([0], np.cumsum(cnts)))
+
+    def verify(batches):
+        rw = width + 1
+        for batch in batches:
+            prs_col = batch.column("prs")
+            p_off = np.concatenate(
+                ([0], np.cumsum(prs_col.value_lengths().fill_null(0)
+                                .to_numpy(zero_copy_only=False))))
+            st = prs_col.flatten()
+            all_a = st.field("id_a").to_numpy(zero_copy_only=False)
+            all_b = st.field("id_b").to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                ida = all_a[p_off[i] : p_off[i + 1]]
+                idb = all_b[p_off[i] : p_off[i + 1]]
+                xi, xc, xo = _unpack(batch.column("ids_x")[i].as_py(),
+                                     batch.column("cnts_x")[i].as_py())
+                yi, yc, yo = _unpack(batch.column("ids_y")[i].as_py(),
+                                     batch.column("cnts_y")[i].as_py())
+                xr = np.frombuffer(batch.column("recs_x")[i].as_py(),
+                                   dtype=np.uint8).view(f"S{rw}")
+                yr = np.frombuffer(batch.column("recs_y")[i].as_py(),
+                                   dtype=np.uint8).view(f"S{rw}")
+                # one unique pass per block pair -> int codes; per-doc code
+                # arrays stay sorted (codes are byte-order ranks and each
+                # doc's records were sorted at pack time)
+                codes = np.unique(np.concatenate([xr, yr]),
+                                  return_inverse=True)[1].astype(np.int64)
+                cx, cy = codes[: len(xr)], codes[len(xr):]
+                # ids sorted at pack time -> binary-search doc lookup;
+                # candidates whose doc has no gram row (e.g. text shorter
+                # than k) are dropped, same as the old inner join
+                pa_ = np.searchsorted(xi, ida).clip(max=max(len(xi) - 1, 0))
+                pb_ = np.searchsorted(yi, idb).clip(max=max(len(yi) - 1, 0))
+                ok = np.zeros(len(ida), dtype=bool)
+                if len(xi) and len(yi):
+                    ok = (xi[pa_] == ida) & (yi[pb_] == idb)
+                out_a, out_b, out_j = [], [], []
+                for j in np.flatnonzero(ok):
+                    ai, bi = pa_[j], pb_[j]
+                    av = cx[xo[ai] : xo[ai + 1]]
+                    bv = cy[yo[bi] : yo[bi + 1]]
+                    if len(av) > len(bv):
+                        av, bv = bv, av
+                    idx = np.searchsorted(bv, av)
+                    okk = idx < len(bv)
+                    inter = int((bv[idx[okk]] == av[okk]).sum())
+                    union = int(xc[ai] + yc[bi] - inter)
+                    jac = float(round_half_away(
+                        np.array([inter / union]), 6)[0]) if union else 0.0
+                    if jac >= threshold:
+                        out_a.append(int(ida[j]))
+                        out_b.append(int(idb[j]))
+                        out_j.append(jac)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_a, type=pa.int64()),
+                     pa.array(out_b, type=pa.int64()),
+                     pa.array(out_j, type=pa.float64())],
+                    schema=out_schema)
+
+    return joined.mapInArrow(verify, from_arrow_schema(out_schema))
 
 
 # ---------------------------------------------------------------------------
