@@ -66,8 +66,17 @@ def encode_int_sub(a: np.ndarray, params: dict | None = None) -> bytes:
     ]
     if n >= 1024:
         # entropy coding pays only on long skewed streams; the model build
-        # (np.unique + heap) is not worth running on short sub-blobs
-        cands.append((huff_size(a), HUFF_INT))
+        # is not worth running on short sub-blobs. The prepared model is
+        # shared between the size probe and (if huffman wins) the encode.
+        from . import huffman
+
+        prep = huffman.prepare(a)
+        cands.append((huffman.encoded_size(a, prep), HUFF_INT))
+        cands.sort(key=lambda c: (c[0], c[1].codec_id))
+        spec = cands[0][1]
+        if spec is HUFF_INT:
+            return bytes([spec.codec_id]) + huffman.encode(a, prep)
+        return bytes([spec.codec_id]) + spec.encode(a, params)
     cands.sort(key=lambda c: (c[0], c[1].codec_id))
     spec = cands[0][1]
     return bytes([spec.codec_id]) + spec.encode(a, params)

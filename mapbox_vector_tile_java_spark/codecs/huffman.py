@@ -122,8 +122,20 @@ def _decode_lut(lengths: np.ndarray, codes: np.ndarray):
 
 def _model(v: np.ndarray):
     """(syms per value incl. escape, kept_vals sorted, freqs, esc_sym|-1)."""
-    uniq, inv, counts = np.unique(v, return_inverse=True,
-                                  return_counts=True)
+    mn, mx = int(v.min()), int(v.max())
+    if 0 <= mn and mx <= max(4 * len(v), 1 << 16):
+        # dense-domain fast path (dictionary ids, small ints): bincount +
+        # table lookup replaces the sort-based unique — same uniq order
+        # (ascending), same counts, same inverse, so identical wire bytes
+        counts_full = np.bincount(v, minlength=mx + 1)
+        uniq = np.flatnonzero(counts_full)
+        counts = counts_full[uniq]
+        pos = np.zeros(mx + 1, dtype=np.int64)
+        pos[uniq] = np.arange(len(uniq))
+        inv = pos[v]
+    else:
+        uniq, inv, counts = np.unique(v, return_inverse=True,
+                                      return_counts=True)
     if len(uniq) > MAX_SYMS - 1:
         top = np.sort(np.argsort(-counts, kind="stable")[: MAX_SYMS - 1])
         sym_of_uniq = np.full(len(uniq), -1, dtype=np.int64)
@@ -144,15 +156,27 @@ def _model(v: np.ndarray):
     return syms, kept_vals, freqs, esc_sym, n_esc
 
 
-def encode(values: np.ndarray) -> bytes:
+def prepare(values: np.ndarray):
+    """Model + code lengths for ``values`` — the shared front half of
+    encode() and encoded_size(). Computing it once and passing it to both
+    halves halves the model cost when the selector sizes a stream and then
+    encodes it with the winning (huffman) codec."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if len(v) == 0:
+        return None
+    syms, kept_vals, freqs, esc_sym, n_esc = _model(v)
+    return syms, kept_vals, freqs, esc_sym, n_esc, build_lengths(freqs)
+
+
+def encode(values: np.ndarray, prep=None) -> bytes:
     """Entropy-encode an int64 array; lossless on the full int64 domain."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
     if n == 0:
         return varint_encode_one(0) + varint_encode_one(0) + varint_encode_one(0)
-    syms, kept_vals, freqs, esc_sym, n_esc = _model(v)
+    syms, kept_vals, freqs, esc_sym, n_esc, lengths = \
+        prep if prep is not None else prepare(v)
     K = len(freqs)
-    lengths = build_lengths(freqs)
     codes = canonical_codes(lengths)
 
     parts: list[bytes] = [varint_encode_one(n), varint_encode_one(K),
@@ -203,7 +227,7 @@ def encode(values: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
-def encoded_size(values: np.ndarray) -> int:
+def encoded_size(values: np.ndarray, prep=None) -> int:
     """Exact-side-streams size estimate without building the bitstream.
 
     Escape and value-table bytes are computed exactly (a wrong estimate
@@ -215,8 +239,8 @@ def encoded_size(values: np.ndarray) -> int:
     n = len(v)
     if n == 0:
         return 3
-    syms, kept_vals, freqs, esc_sym, n_esc = _model(v)
-    lengths = build_lengths(freqs)
+    syms, kept_vals, freqs, esc_sym, n_esc, lengths = \
+        prep if prep is not None else prepare(v)
     payload_bits = int((freqs * lengths).sum())
     lanes = min(LANES, n)
     kd = np.empty(len(kept_vals), dtype=np.int64)

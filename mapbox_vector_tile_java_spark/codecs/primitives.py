@@ -45,7 +45,12 @@ def varint_byte_lengths(u: np.ndarray) -> np.ndarray:
     """Per-value LEB128 encoded length (1..10 bytes) for uint64 values."""
     u = np.ascontiguousarray(u, dtype=np.uint64)
     nb = np.ones(len(u), dtype=np.int64)
-    for t in _VARINT_THRESHOLDS:
+    if len(u) == 0:
+        return nb
+    mx = u.max()  # skip threshold passes no value can reach (most streams
+    for t in _VARINT_THRESHOLDS:  # are 1-3 varint bytes, not 10)
+        if t > mx:
+            break
         nb += u >= t
     return nb
 
