@@ -404,3 +404,39 @@ def test_extract_features_drops_null_media(spark):
     rows = extract_features(df, dim=4).collect()
     got = {r["media_id"] for r in rows}
     assert got == {0, 2}  # null dropped; empty (valid) blob stays
+
+
+def test_fingerprint_winnow_matches_reference_impl(spark):
+    """The vectorized sliding-window-min kernel must agree with a plain
+    per-doc python winnowing over UTF-8 bytes — including non-ascii text
+    (the kernel is byte-based; only the SQL oracle is ascii-gated)."""
+    import random
+
+    from mapbox_vector_tile_java_spark.operators import textstats as T
+
+    def ref_winnow(bts, k=8, w=4):
+        hs = []
+        for i in range(len(bts) - k + 1):
+            h = 0
+            for c in bts[i : i + k]:
+                h = (h * 1000003 + c) % 2147483647
+            hs.append(h)
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    rng = random.Random(7)
+    alphabet = "abcde fghij _-.!?ü日本🎉"
+    rows = [Row(doc_id=i,
+                text="".join(rng.choice(alphabet)
+                             for _ in range(rng.randrange(0, 60))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in T.fingerprint_winnow(df, "text", "doc_id").collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for row in rows:
+        exp = ref_winnow(row.text.encode())
+        assert got.get(row.doc_id, set()) == exp, row.doc_id
