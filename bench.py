@@ -133,7 +133,8 @@ def main():
         "q1_pricing_summary", "stats_lang_hist", "window_user_deltas",
         "join_orders_customers", "agg_source_stats", "text_token_stats",
         "text_quality", "lang_id_stopwords", "doc_fingerprints",
-        "doc_fingerprints_rolling", "dedup_exact", "dedup_minhash_lsh",
+        "doc_fingerprints_rolling", "doc_fingerprints_winnow",
+        "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_srp",
         "dedup_ngram_lsh_verified", "ann_bruteforce_topk",
         "ann_ivf_topk", "ann_ivf_recall", "roundtrip_lineitem",

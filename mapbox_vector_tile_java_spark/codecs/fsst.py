@@ -411,26 +411,33 @@ def train(
                else sample)
     toks = msample.astype(np.int32)
     tok_bytes: list[bytes] = [bytes([i]) for i in range(256)]
-    tok_lens = np.ones(256 + max_rounds, dtype=np.int64)
+    ntok = 256 + max_rounds
+    tok_lens = np.ones(ntok, dtype=np.int64)
     min_count = max(4, int(len(msample) * min_count_frac))
+    # dense pair-count grid instead of per-round sort-based np.unique: the
+    # key domain is ntok^2 (~380k), so one bincount + one argmax per round.
+    # Selection is IDENTICAL to the sorted-unique version: argmax over the
+    # dense ascending-key array returns the smallest (a, b) with the max
+    # valid count — the same tie-break np.unique's sorted keys gave.
+    # `valid` (la + lb <= MAX_SYMBOL_LEN) is maintained incrementally: one
+    # row + one column update when a token is created.
+    valid = np.zeros((ntok, ntok), dtype=bool)
+    valid[:256, :256] = True  # 1 + 1 <= MAX_SYMBOL_LEN
     for _ in range(max_rounds):
         if len(toks) < 2:
             break
-        keys = toks[:-1].astype(np.int64) * _PAIR_K + toks[1:]
-        uk, counts = np.unique(keys, return_counts=True)
-        la = tok_lens[(uk // _PAIR_K).astype(np.int64)]
-        lb = tok_lens[(uk % _PAIR_K).astype(np.int64)]
-        ok = (la + lb) <= MAX_SYMBOL_LEN
-        if not ok.any():
-            break
-        uk, counts = uk[ok], counts[ok]
+        keys = toks[:-1] * np.int32(ntok) + toks[1:]
+        counts = np.bincount(keys, minlength=ntok * ntok)
+        counts[~valid.ravel()[: len(counts)]] = 0
         best = int(np.argmax(counts))
         if counts[best] < min_count:
             break
-        a, b = int(uk[best] // _PAIR_K), int(uk[best] % _PAIR_K)
+        a, b = divmod(best, ntok)
         t = len(tok_bytes)
         tok_bytes.append(tok_bytes[a] + tok_bytes[b])
         tok_lens[t] = len(tok_bytes[t])
+        valid[t, :] = tok_lens[t] + tok_lens <= MAX_SYMBOL_LEN
+        valid[:, t] = tok_lens + tok_lens[t] <= MAX_SYMBOL_LEN
         toks = _merge_pass(toks, a, b, t)
 
     # candidate pool: every distinct multi-byte token + frequent single bytes
