@@ -36,6 +36,12 @@ AUDITS = [
      "query side broadcast (BroadcastNestedLoopJoin), window top-k per "
      "query id",
      ["Broadcast", "Window", "Exchange"]),
+    ("dedup_ngram_lsh_verified",
+     "block-pair exact verify: candidate pairs aggregate per (block_a, "
+     "block_b) key, packed gram blocks join once per partner block, one "
+     "MapInArrow kernel per block pair — gram bytes never shuffle per "
+     "candidate pair",
+     ["MapInArrow", "Exchange", "HashAggregate"]),
 ]
 
 HEADER = """# Physical-plan audit (sf0.01, local[8])
