@@ -34,7 +34,6 @@ from .intcodecs import (
     VARINT_INT,
     delta_size,
     for_size,
-    huff_size,
     raw_int_size,
     rle_size,
     varint_int_size,
@@ -64,6 +63,7 @@ def encode_int_sub(a: np.ndarray, params: dict | None = None) -> bytes:
         (varint_int_size(a), VARINT_INT),
         (raw_int_size(n), RAW_INT),
     ]
+    prep = None
     if n >= 1024:
         # entropy coding pays only on long skewed streams; the model build
         # is not worth running on short sub-blobs. The prepared model is
@@ -72,13 +72,12 @@ def encode_int_sub(a: np.ndarray, params: dict | None = None) -> bytes:
 
         prep = huffman.prepare(a)
         cands.append((huffman.encoded_size(a, prep), HUFF_INT))
-        cands.sort(key=lambda c: (c[0], c[1].codec_id))
-        spec = cands[0][1]
-        if spec is HUFF_INT:
-            return bytes([spec.codec_id]) + huffman.encode(a, prep)
-        return bytes([spec.codec_id]) + spec.encode(a, params)
     cands.sort(key=lambda c: (c[0], c[1].codec_id))
     spec = cands[0][1]
+    if spec is HUFF_INT:
+        from . import huffman
+
+        return bytes([spec.codec_id]) + huffman.encode(a, prep)
     return bytes([spec.codec_id]) + spec.encode(a, params)
 
 

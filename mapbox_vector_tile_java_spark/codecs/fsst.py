@@ -42,7 +42,6 @@ MAX_SYMBOL_LEN = 8
 CHUNK = 4096  # greedy-walk chunk; matches never cross a chunk edge
 SEGMENT = 1 << 19  # cache-blocked parse segment (multiple of CHUNK; swept
                    # 256KB-4MB on webtext, 512KB is the measured optimum)
-_PAIR_K = np.int64(1 << 20)
 _HM32 = np.uint32(0x01000193)  # FNV-1 32-bit prime (public constant)
 
 

@@ -194,7 +194,8 @@ def build_ivf_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str,
     (asg.repartition(F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(os.path.join(index_dir, "assignments")))
-    meta = {"n_centroids": len(C), "n_iters": n_iters, "seed": seed,
+    meta = {"n_centroids": len(C), "requested_n_centroids": int(n_centroids),
+            "n_iters": n_iters, "seed": seed,
             "sample_rows": sample_rows, "stride": stride, "n_rows": int(n),
             "dim": int(C.shape[1])}
     with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
@@ -239,13 +240,17 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
         meta = json.load(f)
     # a reused index must match the caller's build parameters — silently
     # answering from a differently-shaped or differently-seeded index would
-    # return stale results with no warning
-    if meta.get("n_centroids") != n_centroids or meta.get("seed") != seed:
+    # return stale results with no warning. Compare against the REQUESTED
+    # centroid count, not the realized one: train_centroids clamps to the
+    # sample size on tiny corpora, and an index this call just built must
+    # never fail its own check.
+    req = meta.get("requested_n_centroids", meta.get("n_centroids"))
+    if req != n_centroids or meta.get("seed") != seed:
         raise ValueError(
-            f"index at {index_dir} was built with n_centroids="
-            f"{meta.get('n_centroids')}, seed={meta.get('seed')} but caller "
-            f"requested n_centroids={n_centroids}, seed={seed}; pass a "
-            f"fresh index_dir (or delete the stale index) to rebuild")
+            f"index at {index_dir} was built with n_centroids={req}, "
+            f"seed={meta.get('seed')} but caller requested "
+            f"n_centroids={n_centroids}, seed={seed}; pass a fresh "
+            f"index_dir (or delete the stale index) to rebuild")
     C = load_centroids(index_dir)
     base = spark.read.parquet(os.path.join(index_dir, "assignments"))
 

@@ -440,3 +440,17 @@ def test_fingerprint_winnow_matches_reference_impl(spark):
     for row in rows:
         exp = ref_winnow(row.text.encode())
         assert got.get(row.doc_id, set()) == exp, row.doc_id
+
+
+def test_ivf_topk_small_corpus_self_built_index_ok(spark):
+    """train_centroids clamps n_centroids to the sample size on tiny
+    corpora; an index a call just built must pass its own param check
+    (the check compares the REQUESTED count, not the clamped one)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)])
+         for i in range(20)])
+    out = S.ivf_topk(df, "embedding", "vec_id", [0], k=3)  # default 64 > 20
+    assert out.count() == 3
