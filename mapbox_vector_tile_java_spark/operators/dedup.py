@@ -267,61 +267,89 @@ def band_candidates(fp: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _gram_records(lst: pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
-    """list<string> column -> (per-row gram counts, fixed-width byte records
-    of all grams: 1 length byte + gram bytes zero-padded to ``width``).
-    The length prefix keeps distinct grams distinct even when one is a
-    zero-padded prefix of another (e.g. text containing NUL bytes)."""
-    counts = lst.value_lengths().fill_null(0).to_numpy(zero_copy_only=False)
-    vals = lst.flatten()
-    _, lens, data = _bytes_view(vals)
-    if lens.size and int(lens.max()) > width:
-        raise ValueError(f"gram byte length {int(lens.max())} exceeds "
-                         f"record width {width}")
-    from ..codecs.gather import multi_range
-
-    nrec = len(vals)
-    rec = np.zeros(nrec * (width + 1), dtype=np.uint8)
-    rec[np.arange(nrec) * (width + 1)] = lens
-    rec[multi_range(np.arange(nrec) * (width + 1) + 1, lens)] = data
-    return counts.astype(np.int64), rec.view(f"S{width + 1}")
-
-
 def _gram_record_df(df: DataFrame, text_col: str, id_col: str,
                     k: int) -> DataFrame:
     """(id, cnt, rec): each doc's distinct char-k-gram set packed into ONE
     binary blob of bytewise-sorted fixed-width records (see _gram_records).
     The packed form is what the block-pair verify ships — one blob per doc,
-    never one gram-string array per candidate pair."""
+    never one gram-string array per candidate pair.
+
+    Gram extraction happens INSIDE the kernel from the raw text bytes —
+    the earlier Catalyst transform/array_distinct/array_sort pipeline
+    allocated one JVM substring per gram position (2000 objects per 2KB
+    doc) and shipped the gram arrays through Arrow; shipping the text and
+    windowing in numpy halved the stage wall. Rows that are pure ASCII
+    (the overwhelming case) take the vectorized byte-window path (char
+    grams == byte grams); rows with multi-byte characters fall back to a
+    per-row python set over decoded characters — identical char-gram
+    semantics to substring(text, i, k), so the SQL oracle is unchanged.
+    """
     from pyspark.sql.pandas.types import from_arrow_schema
 
     width = 4 * k  # utf-8 worst case: 4 bytes per char
-    g = (df.select(F.col(id_col).cast("long").alias("id"),
-                   gram_set_expr(text_col, k).alias("g"))
-           .where(F.size("g") > 0))
+    rw = width + 1
+    src = (df.where(F.col(text_col).isNotNull()
+                    & (F.length(text_col) >= k))
+             .select(F.col(id_col).cast("long").alias("id"),
+                     F.col(text_col)))
     out_schema = pa.schema([pa.field("id", pa.int64()),
                             pa.field("cnt", pa.int64()),
                             pa.field("rec", pa.binary())])
 
     def fn(batches):
+        from ..codecs.gather import multi_range
+
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            ids = batch.column(0).to_numpy(zero_copy_only=False)
-            cnts, recs = _gram_records(batch.column(1), width)
-            off = np.concatenate(([0], np.cumsum(cnts)))
-            blobs = []
-            for i in range(n):
-                r = np.sort(recs[off[i] : off[i + 1]])
-                blobs.append(r.tobytes())
+            valid, lens, data = _bytes_view(batch.column(1))
+            ids = batch.column(0).to_numpy(zero_copy_only=False)[valid]
+            n = len(ids)
+            ofs = np.concatenate(([0], np.cumsum(lens)))
+            # per-row ascii flag: any byte >= 0x80 forces the char fallback
+            hi = (data >= 0x80)
+            non_ascii = np.add.reduceat(hi, ofs[:-1]) > 0 if len(data) else \
+                np.zeros(n, dtype=bool)
+            non_ascii &= lens > 0
+            out_ids, out_cnts, blobs = [], [], []
+            # vectorized path: k-byte windows over the flat buffer, one
+            # record matrix build, per-row unique (sorts + dedups)
+            asc = np.flatnonzero(~non_ascii & (lens >= k))
+            if len(asc):
+                n_gr = lens[asc] - (k - 1)
+                win_idx = multi_range(ofs[:-1][asc], n_gr)
+                total = len(win_idx)
+                rec = np.zeros((total, rw), dtype=np.uint8)
+                rec[:, 0] = k
+                for j in range(k):
+                    rec[:, 1 + j] = data[win_idx + j]
+                rv = rec.view(f"S{rw}").ravel()
+                starts = np.concatenate(([0], np.cumsum(n_gr)))
+                for p, i in enumerate(asc):
+                    u = np.unique(rv[starts[p] : starts[p + 1]])
+                    out_ids.append(int(ids[i]))
+                    out_cnts.append(len(u))
+                    blobs.append(u.tobytes())
+            for i in np.flatnonzero(non_ascii):
+                s = bytes(data[ofs[i] : ofs[i + 1]]).decode("utf-8")
+                if len(s) < k:
+                    continue
+                gset = {s[p : p + k].encode() for p in range(len(s) - k + 1)}
+                recs = np.zeros((len(gset), rw), dtype=np.uint8)
+                for row, gb in enumerate(gset):
+                    recs[row, 0] = len(gb)
+                    recs[row, 1 : 1 + len(gb)] = np.frombuffer(gb, np.uint8)
+                u = np.unique(recs.view(f"S{rw}").ravel())
+                out_ids.append(int(ids[i]))
+                out_cnts.append(len(u))
+                blobs.append(u.tobytes())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()),
-                 pa.array(cnts, type=pa.int64()),
+                [pa.array(out_ids, type=pa.int64()),
+                 pa.array(out_cnts, type=pa.int64()),
                  pa.array(blobs, type=pa.binary())],
                 schema=out_schema)
 
-    return g.mapInArrow(fn, from_arrow_schema(out_schema))
+    return src.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
 def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,

@@ -454,3 +454,28 @@ def test_ivf_topk_small_corpus_self_built_index_ok(spark):
          for i in range(20)])
     out = S.ivf_topk(df, "embedding", "vec_id", [0], k=3)  # default 64 > 20
     assert out.count() == 3
+
+
+def test_ngram_lsh_char_semantics_non_ascii(spark):
+    """The kernel-side gram extractor must use CHARACTER grams (like
+    substring(text, i, k)), not byte grams — multi-byte texts exercise the
+    per-row fallback and must agree exactly with the Catalyst exact
+    baseline (same pairs, same jaccard)."""
+    base = "übergrößenträger straße naïve café résumé 日本語のテキスト " * 6
+    rows = [Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base + " kleiner zusatz"),
+            Row(doc_id=2, text="мир труд май совершенно другой текст " * 6),
+            Row(doc_id=3, text="plain ascii filler document " * 8),
+            Row(doc_id=4, text="plain ascii filler document " * 8 + "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(df, "text", "doc_id", k=3,
+                                            threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_lsh(df, "text", "doc_id", k=3,
+                                        threshold=0.5).collect()}
+    # LSH recall on these near-identical pairs is ~1; every surfaced pair
+    # must carry the exact char-gram jaccard
+    assert (0, 1) in lsh and (3, 4) in lsh
+    for pair, j in lsh.items():
+        assert exact[pair] == j, (pair, j, exact.get(pair))
