@@ -448,6 +448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
     q["dedup_simhash"] = lambda s, d: D.simhash_pairs(
         _read(s, d, "documents"), "text", "doc_id")
+    # cluster collapse: components of the minhash-LSH pair graph, canonical
+    # member = min doc id (the doc a dedup pipeline keeps per cluster)
+    q["dedup_components"] = lambda s, d: D.dedup_components(
+        D.minhash_lsh_pairs(_read(s, d, "documents"), "text", "doc_id"))
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_neardup_pairs(
         _read(s, d, "embeddings"), "embedding", "vec_id", threshold=0.35)
     q["dedup_embedding_srp"] = lambda s, d: D.embedding_srp_pairs(
@@ -696,6 +700,30 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{FIXTURE_DIR}/media_expected.parquet'),
              generate_series(0, 31, 4) AS g(i)
         WHERE kind = 'video' AND i <= frames - 1"""
+
+    # cluster collapse oracle: DuckDB reconstructs the SAME minhash-LSH
+    # pair graph from the signature fixture, then computes connected
+    # components with a recursive CTE (min label reachable over the
+    # symmetric edge set == smallest id in the component)
+    o["dedup_components"] = f"""
+        WITH RECURSIVE
+        banded AS (
+          SELECT id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bh
+          FROM read_parquet('{FIXTURE_DIR}/minhash_sig.parquet'),
+               generate_series(0, 15) AS g(b)),
+        prs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+          GROUP BY a.id, b.id),
+        edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        cc AS (
+          SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id)
+        SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM cc GROUP BY id"""
 
     # the full scale composition: LSH band candidates (from the signature
     # fixture) -> exact jaccard verify -> threshold, all recomputed in SQL

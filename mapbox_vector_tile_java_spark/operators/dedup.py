@@ -509,6 +509,67 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster collapse: connected components + canonical pick
+
+def dedup_components(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    (id, comp) where comp = the smallest doc id in the component — the
+    canonical representative a dedup pipeline keeps (every other member
+    is the drop set). Only ids that appear in at least one pair are
+    returned; unpaired docs are trivially their own canonical.
+
+    Algorithm: alternating min-label propagation (each round every node
+    takes the min label over itself and its neighbors) with a
+    changed-count convergence check — deterministic, terminates in
+    O(component diameter) rounds (near-dup clusters are dense, so
+    diameter is small). Each round is one shuffle on the node id. At
+    10^12-doc scale the same loop holds (labels/edges are id-partitioned
+    DataFrames); the known evolution for adversarial long-chain graphs is
+    the large-star/small-star split (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14), which drops round count to
+    O(log^2 n) without changing this interface.
+    """
+    edges = pairs.select(F.col(id_a).cast("long").alias("a"),
+                         F.col(id_b).cast("long").alias("b"))
+    # localCheckpoint (eager) truncates lineage each round — without it the
+    # logical plan doubles per iteration and analysis time explodes (the
+    # standard iterative-DataFrame pitfall)
+    edges = (edges.union(edges.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b"))).distinct()
+                  .localCheckpoint())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+                   .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.withColumnRenamed("id", "a"), "a")
+                    .groupBy(F.col("b").alias("id"))
+                    .agg(F.min("comp").alias("nc")))
+        new_labels = (labels.join(nbr, "id", "left")
+                      .select("id", F.least(F.col("comp"),
+                                            F.coalesce("nc", "comp"))
+                               .alias("comp")).localCheckpoint())
+        changed = (new_labels.withColumnRenamed("comp", "nc2")
+                   .join(labels, "id")
+                   .where(F.col("nc2") != F.col("comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iters} rounds")
+    return labels
+
+
+def dedup_drop_set(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """(id, keep_id): every non-canonical member of each near-dup cluster
+    with the canonical doc that replaces it — the rows a training-data
+    pipeline deletes after near-dup detection."""
+    comp = dedup_components(pairs, id_a, id_b)
+    return (comp.where(F.col("id") != F.col("comp"))
+                .select("id", F.col("comp").alias("keep_id")))
+
+
+# ---------------------------------------------------------------------------
 # simhash
 
 def simhash_kernel(lens: np.ndarray, data: np.ndarray,

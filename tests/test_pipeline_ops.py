@@ -479,3 +479,24 @@ def test_ngram_lsh_char_semantics_non_ascii(spark):
     assert (0, 1) in lsh and (3, 4) in lsh
     for pair, j in lsh.items():
         assert exact[pair] == j, (pair, j, exact.get(pair))
+
+
+def test_dedup_components_and_drop_set(spark):
+    """Min-label propagation must produce exact connected components
+    (chains, stars, singleton-free) and the drop set must exclude each
+    cluster's canonical (smallest) id."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11), Row(id_a=10, id_b=12), Row(id_a=10, id_b=13),
+         Row(id_a=20, id_b=21)])
+    comp = {r["id"]: r["comp"]
+            for r in D.dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    drop = {r["id"]: r["keep_id"] for r in D.dedup_drop_set(pairs).collect()}
+    assert drop == {2: 1, 3: 1, 4: 1, 11: 10, 12: 10, 13: 10, 21: 20}
+    # long chain exercises multi-round convergence (diameter 7)
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(100, 108)])
+    cc = {r["id"]: r["comp"] for r in D.dedup_components(chain).collect()}
+    assert set(cc.values()) == {100} and len(cc) == 9
