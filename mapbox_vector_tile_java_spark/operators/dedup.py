@@ -529,6 +529,11 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a",
     the large-star/small-star split (Kiveris et al., "Connected
     Components in MapReduce", SoCC'14), which drops round count to
     O(log^2 n) without changing this interface.
+
+    localCheckpoint trades fault-tolerance for speed (lost executors
+    cannot recompute truncated lineage); on a real cluster set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap to ``.checkpoint()``
+    for runs long enough to see executor churn.
     """
     edges = pairs.select(F.col(id_a).cast("long").alias("a"),
                          F.col(id_b).cast("long").alias("b"))
