@@ -452,6 +452,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # member = min doc id (the doc a dedup pipeline keeps per cluster)
     q["dedup_components"] = lambda s, d: D.dedup_components(
         D.minhash_lsh_pairs(_read(s, d, "documents"), "text", "doc_id"))
+
+    # the composed cleaning chain: quality gate -> exact dedup -> near-dup
+    # collapse; the oracle re-runs the WHOLE chain in SQL
+    def _corpus_clean(s, d):
+        from mapbox_vector_tile_java_spark.operators.pipeline import (
+            corpus_clean)
+
+        return corpus_clean(_read(s, d, "documents"), "text", "doc_id")
+    q["pipeline_corpus_clean"] = _corpus_clean
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_neardup_pairs(
         _read(s, d, "embeddings"), "embedding", "vec_id", threshold=0.35)
     q["dedup_embedding_srp"] = lambda s, d: D.embedding_srp_pairs(
@@ -897,6 +906,44 @@ def oracle_sql() -> dict[str, str]:
                     WHEN hits_en = greatest(hits_de, hits_en, hits_fr) THEN 'en'
                     ELSE 'fr' END AS lang_pred
         FROM h"""
+
+    # the composed cleaning chain, re-run entirely in SQL: quality gate
+    # (same rounded score), exact dedup (min id per text among survivors),
+    # minhash-LSH pair graph induced on the survivors (per-doc signatures
+    # are content-only, so the fixture restricted to surviving ids IS the
+    # subset's banding), recursive-CTE component collapse, kept set
+    o["pipeline_corpus_clean"] = f"""
+        WITH RECURSIVE
+        qual AS (
+          SELECT doc_id FROM documents
+          WHERE round(CASE WHEN length(text) > 0 THEN
+                  1.0
+                  - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+                  - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                  + least(len(list_intersect({toks}, {stop_en})), 5) * 0.02
+                ELSE 0.0 END, 6) >= 1.01),
+        ex AS (SELECT min(d.doc_id) AS id
+               FROM documents d JOIN qual USING (doc_id)
+               GROUP BY d.text),
+        banded AS (
+          SELECT id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bh
+          FROM read_parquet('{FIXTURE_DIR}/minhash_sig.parquet'),
+               generate_series(0, 15) AS g(b)
+          WHERE id IN (SELECT id FROM ex)),
+        prs AS (SELECT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+                GROUP BY 1, 2),
+        edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        cc AS (SELECT id, id AS comp FROM nodes
+               UNION SELECT e.b AS id, c.comp
+                     FROM cc c JOIN edges e ON e.a = c.id),
+        drops AS (SELECT id FROM (SELECT id, min(comp) AS comp
+                                  FROM cc GROUP BY id) WHERE id != comp)
+        SELECT id AS doc_id FROM ex
+        WHERE id NOT IN (SELECT id FROM drops)"""
 
     grams8 = ("list_transform(range(1, greatest(length(text) - 7, 0) + 1), "
               "i -> md5(substring(text, i, 8)))")

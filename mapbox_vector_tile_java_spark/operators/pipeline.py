@@ -1,0 +1,49 @@
+"""Composed training-data cleaning pipeline: the end-to-end shape a
+corpus-preparation job runs, built entirely from this repo's operators —
+quality gate -> exact dedup -> near-dup cluster collapse -> kept set.
+
+Each stage is individually oracle-checked elsewhere; this module checks the
+COMPOSITION (the driver's DuckDB oracle re-runs the whole chain in SQL,
+including the recursive-CTE component collapse). Reference lineage: the
+reference validates whole-pipeline behavior, not just units
+(MvtBuildTest.java:141-308 builds tile -> encodes -> decodes -> asserts).
+
+Scale shape: quality gate and exact dedup are one scan + one content-hash
+shuffle; the near-dup stage inherits minhash-LSH's bounded-bucket shuffle;
+the collapse is O(component diameter) label-propagation rounds. Nothing
+here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def corpus_clean(df: DataFrame, text_col: str, id_col: str,
+                 min_quality: float = 1.01,
+                 work_dir: str | None = None) -> DataFrame:
+    """Kept document ids after the full cleaning chain:
+
+    1. quality gate: heuristic quality_score >= min_quality (drops
+       low-signal documents — on the synthetic corpus this is an
+       English-stopword-evidence gate);
+    2. exact dedup: one survivor (smallest id) per distinct text;
+    3. near-dup collapse: minhash-LSH pair graph over the survivors,
+       connected components, keep only each cluster's canonical
+       (smallest-id) member.
+
+    Returns a single-column (id) DataFrame of kept documents.
+    """
+    from .dedup import dedup_drop_set, exact_dedup, minhash_lsh_pairs
+    from .textstats import quality_score
+
+    good_ids = (quality_score(df, text_col, id_col)
+                .where(F.col("quality_score") >= min_quality)
+                .select(id_col))
+    good = df.select(id_col, text_col).join(good_ids, id_col)
+    survivors = exact_dedup(good, text_col, id_col)
+    pairs = minhash_lsh_pairs(survivors, text_col, id_col,
+                              work_dir=work_dir)
+    drop = dedup_drop_set(pairs).withColumnRenamed("id", id_col)
+    return (survivors.join(drop.select(id_col), id_col, "left_anti")
+                     .select(id_col))

@@ -500,3 +500,23 @@ def test_dedup_components_and_drop_set(spark):
         [Row(id_a=i, id_b=i + 1) for i in range(100, 108)])
     cc = {r["id"]: r["comp"] for r in D.dedup_components(chain).collect()}
     assert set(cc.values()) == {100} and len(cc) == 9
+
+
+def test_corpus_clean_composition(spark):
+    """End-to-end cleaning chain: the quality gate drops low-signal docs,
+    exact dup collapses to the smallest id, near-dup clusters keep only
+    their canonical member."""
+    from mapbox_vector_tile_java_spark.operators.pipeline import corpus_clean
+
+    base = ("the quick brown fox jumps over the lazy dog and it is "
+            "with that for of in to ") * 8
+    rows = [Row(doc_id=1, text=base),                      # canonical
+            Row(doc_id=2, text=base),                      # exact dup -> drop
+            Row(doc_id=3, text=base + "tiny tail"),        # near dup -> drop
+            Row(doc_id=4, text="voll anderes dokument ohne englische "
+                               "woerter hier " * 10),      # fails en gate
+            Row(doc_id=5, text="a completely different but still english "
+                               "text with the usual words of it " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in corpus_clean(df, "text", "doc_id").collect()}
+    assert kept == {1, 5}
