@@ -215,15 +215,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input has
-    fewer partitions (e.g. one parquet file) — otherwise the vectorized
-    fingerprint kernels run on a single core. No-op on well-partitioned
-    inputs, so at scale this never adds a shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+def _spread(df: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Repartition up to the session's parallelism when the input scan is
+    too narrow (e.g. one parquet file) — otherwise the vectorized
+    fingerprint kernels run on a single core.
+
+    The width probe is metadata-only: ``df.inputFiles()`` lists the leaf
+    scan's files without running a job or converting the plan to an RDD
+    (``df.rdd.getNumPartitions()`` forces a DataFrame->RDD conversion — an
+    avoidable analysis pass on a 100 TB plan). A file-backed input with at
+    least ``target`` files is already wide (parquet is additionally
+    splittable, so this under-counts, never over-counts, width); inputs
+    Spark can't enumerate files for are conservatively respread. Callers
+    that know their partitioning pass ``n_parts`` explicitly."""
+    target = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 _FP_TMP_DIRS: list[str] = []
@@ -245,13 +257,28 @@ def _materialize_fp(df: DataFrame, spark, prefix: str,
         work_dir = tempfile.mkdtemp(prefix=prefix)
         if not _FP_TMP_DIRS:
             import atexit
-            import shutil
 
-            atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True)
-                                     for d in _FP_TMP_DIRS])
+            atexit.register(cleanup_temp_dirs)
         _FP_TMP_DIRS.append(work_dir)
     df.write.mode("overwrite").parquet(work_dir)
     return spark.read.parquet(work_dir)
+
+
+def cleanup_temp_dirs() -> int:
+    """Remove every auto-created signature/gram temp dir NOW and return how
+    many were deleted. Long-lived driver sessions call this between dedup
+    batches so disk does not accumulate one dir per operator call; it also
+    runs once at interpreter exit as the backstop.
+
+    Only call after fully consuming (or persisting) the DataFrames the
+    dedup operators returned — they lazily re-read these files."""
+    import shutil
+
+    n = len(_FP_TMP_DIRS)
+    for d in _FP_TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _FP_TMP_DIRS.clear()
+    return n
 
 
 def band_candidates(fp: DataFrame) -> DataFrame:
@@ -512,29 +539,41 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
 # near-dup cluster collapse: connected components + canonical pick
 
 def dedup_components(pairs: DataFrame, id_a: str = "id_a",
-                     id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+                     id_b: str = "id_b", max_iters: int = 200,
+                     algorithm: str = "labelprop") -> DataFrame:
     """Connected components of the near-duplicate pair graph:
     (id, comp) where comp = the smallest doc id in the component — the
     canonical representative a dedup pipeline keeps (every other member
     is the drop set). Only ids that appear in at least one pair are
     returned; unpaired docs are trivially their own canonical.
 
-    Algorithm: alternating min-label propagation (each round every node
-    takes the min label over itself and its neighbors) with a
-    changed-count convergence check — deterministic, terminates in
-    O(component diameter) rounds (near-dup clusters are dense, so
-    diameter is small). Each round is one shuffle on the node id. At
-    10^12-doc scale the same loop holds (labels/edges are id-partitioned
-    DataFrames); the known evolution for adversarial long-chain graphs is
-    the large-star/small-star split (Kiveris et al., "Connected
-    Components in MapReduce", SoCC'14), which drops round count to
-    O(log^2 n) without changing this interface.
+    algorithm="labelprop" (default): alternating min-label propagation
+    (each round every node takes the min label over itself and its
+    neighbors) — deterministic, one shuffle per round, terminates in
+    O(component diameter) rounds. Near-dup clusters are dense, so the
+    diameter is small in practice. The convergence check is folded into
+    the round's own materialization: the update carries a ``chg`` flag
+    column and localCheckpoint (eager) runs the job, so the probe is a
+    take(1) scan over the already-materialized blocks — no second
+    join+count job per round.
+
+    algorithm="star": the large-star/small-star alternation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log^2 n) rounds on adversarial long-chain graphs where labelprop
+    needs O(diameter). Use it when components may be deep (transitive
+    near-dup chains over crawl snapshots); for shallow dense clusters
+    labelprop does fewer shuffles per round.
 
     localCheckpoint trades fault-tolerance for speed (lost executors
     cannot recompute truncated lineage); on a real cluster set a reliable
     ``spark.sparkContext.setCheckpointDir`` and swap to ``.checkpoint()``
     for runs long enough to see executor churn.
     """
+    if algorithm == "star":
+        return _components_star(pairs, id_a, id_b, max_iters)
+    if algorithm != "labelprop":
+        raise ValueError(f"unknown algorithm {algorithm!r} "
+                         "(expected 'labelprop' or 'star')")
     edges = pairs.select(F.col(id_a).cast("long").alias("a"),
                          F.col(id_b).cast("long").alias("b"))
     # localCheckpoint (eager) truncates lineage each round — without it the
@@ -545,23 +584,96 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a",
                   .localCheckpoint())
     labels = (edges.select(F.col("a").alias("id")).distinct()
                    .withColumn("comp", F.col("id")).localCheckpoint())
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = (edges.join(labels.withColumnRenamed("id", "a"), "a")
                     .groupBy(F.col("b").alias("id"))
                     .agg(F.min("comp").alias("nc")))
+        # ONE job per round: the eager localCheckpoint materializes the
+        # update with its chg flag; the convergence probe below is a
+        # take(1) over those materialized blocks, not a recompute
         new_labels = (labels.join(nbr, "id", "left")
-                      .select("id", F.least(F.col("comp"),
-                                            F.coalesce("nc", "comp"))
-                               .alias("comp")).localCheckpoint())
-        changed = (new_labels.withColumnRenamed("comp", "nc2")
-                   .join(labels, "id")
-                   .where(F.col("nc2") != F.col("comp")).count())
-        labels = new_labels
-        if changed == 0:
+                      .select("id",
+                              F.least(F.col("comp"),
+                                      F.coalesce("nc", "comp")).alias("comp"),
+                              (F.coalesce("nc", F.col("comp"))
+                               < F.col("comp")).alias("chg"))
+                      .localCheckpoint())
+        converged = new_labels.where(F.col("chg")).isEmpty()
+        labels = new_labels.select("id", "comp")
+        if converged:
             break
     else:
-        raise RuntimeError(f"components did not converge in {max_iters} rounds")
+        raise RuntimeError(
+            f"components did not converge in {max_iters} min-label rounds "
+            f"(component diameter exceeds max_iters) — rerun with "
+            f"algorithm='star' (O(log^2 n) rounds on long chains) or a "
+            f"higher max_iters")
     return labels
+
+
+def _components_star(pairs: DataFrame, id_a: str, id_b: str,
+                     max_iters: int) -> DataFrame:
+    """Large-star/small-star connected components (SoCC'14). Maintains a
+    shrinking edge set; converges when the edge set is a fixed point of the
+    small-star round, at which point every edge is (node, component-min).
+
+    Fixed-point detection: count + sum of per-edge 64-bit hashes (exact
+    arithmetic via decimal(38,0)) compared across rounds. Two DISTINCT
+    consecutive edge sets colliding on both count and 64-bit hash-sum is a
+    ~2^-64 event — and a false "converged" here could only ever happen on a
+    not-yet-star graph that the deterministic operators map to a same-count
+    same-hashsum graph, which self-checks below (the final edge set must be
+    self-loop-free and star-shaped is implied by the fixed point).
+    """
+    edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                          F.col(id_b).cast("long").alias("v"))
+                  .where(F.col("u") != F.col("v"))
+                  .distinct().localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("id"))
+                  .union(edges.select(F.col("v").alias("id")))
+                  .distinct().localCheckpoint())
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        r = e.agg(F.count("*").alias("n"),
+                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+                  ).first()
+        return int(r["n"]), int(r["h"] or 0)
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (sym.join(m, "u")
+                   .where(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                   .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient hi -> lo, then point every lo-neighbor (and hi) at the min
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        om = o.join(m, "u")
+        out = (om.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(om.select(F.col("u"), F.col("m").alias("v"))))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iters} rounds")
+    # fixed point: edges = (member, component-min) stars; centers label
+    # themselves
+    return (nodes.join(edges.select(F.col("u").alias("id"),
+                                    F.col("v").alias("c")), "id", "left")
+                 .groupBy("id").agg(F.min("c").alias("c"))
+                 .select("id", F.coalesce("c", "id").alias("comp")))
 
 
 def dedup_drop_set(pairs: DataFrame, id_a: str = "id_a",

@@ -481,8 +481,9 @@ def test_ngram_lsh_char_semantics_non_ascii(spark):
         assert exact[pair] == j, (pair, j, exact.get(pair))
 
 
-def test_dedup_components_and_drop_set(spark):
-    """Min-label propagation must produce exact connected components
+@pytest.mark.parametrize("algorithm", ["labelprop", "star"])
+def test_dedup_components_and_drop_set(spark, algorithm):
+    """Both component algorithms must produce exact connected components
     (chains, stars, singleton-free) and the drop set must exclude each
     cluster's canonical (smallest) id."""
     pairs = spark.createDataFrame(
@@ -490,7 +491,7 @@ def test_dedup_components_and_drop_set(spark):
          Row(id_a=10, id_b=11), Row(id_a=10, id_b=12), Row(id_a=10, id_b=13),
          Row(id_a=20, id_b=21)])
     comp = {r["id"]: r["comp"]
-            for r in D.dedup_components(pairs).collect()}
+            for r in D.dedup_components(pairs, algorithm=algorithm).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                     10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
     drop = {r["id"]: r["keep_id"] for r in D.dedup_drop_set(pairs).collect()}
@@ -498,8 +499,40 @@ def test_dedup_components_and_drop_set(spark):
     # long chain exercises multi-round convergence (diameter 7)
     chain = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(100, 108)])
-    cc = {r["id"]: r["comp"] for r in D.dedup_components(chain).collect()}
+    cc = {r["id"]: r["comp"]
+          for r in D.dedup_components(chain, algorithm=algorithm).collect()}
     assert set(cc.values()) == {100} and len(cc) == 9
+
+
+def test_components_star_long_chain_few_rounds(spark):
+    """large-star/small-star must collapse a diameter-40 chain well inside
+    the O(log^2 n) round budget where naive labelprop needs ~diameter
+    rounds — the reason the variant exists (SoCC'14)."""
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(200, 240)])
+    cc = {r["id"]: r["comp"]
+          for r in D.dedup_components(chain, algorithm="star",
+                                      max_iters=12).collect()}
+    assert set(cc.values()) == {200} and len(cc) == 41
+    # labelprop genuinely needs ~diameter rounds on the same input
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_components(chain, algorithm="labelprop", max_iters=12)
+
+
+def test_cleanup_temp_dirs(spark, docs):
+    """The explicit cleanup hook must reap every auto-created
+    signature/gram staging dir and reset the registry."""
+    import os
+
+    from mapbox_vector_tile_java_spark.operators import dedup as dd
+
+    dd.cleanup_temp_dirs()
+    D.ngram_jaccard_lsh(docs, "text", "doc_id", threshold=0.5).count()
+    created = list(dd._FP_TMP_DIRS)
+    assert created and all(os.path.isdir(d) for d in created)
+    assert dd.cleanup_temp_dirs() == len(created)
+    assert not dd._FP_TMP_DIRS
+    assert all(not os.path.isdir(d) for d in created)
 
 
 def test_corpus_clean_composition(spark):
