@@ -909,9 +909,12 @@ def oracle_sql() -> dict[str, str]:
 
     # the composed cleaning chain, re-run entirely in SQL: quality gate
     # (same rounded score), exact dedup (min id per text among survivors),
-    # minhash-LSH pair graph induced on the survivors (per-doc signatures
+    # minhash-LSH CANDIDATES induced on the survivors (per-doc signatures
     # are content-only, so the fixture restricted to surviving ids IS the
-    # subset's banding), recursive-CTE component collapse, kept set
+    # subset's banding), exact char-3-gram jaccard verify of every
+    # candidate (only true-jaccard >= 0.5 pairs become edges — raw band
+    # collisions include false positives that transitive collapse would
+    # chain into wrongful drops), recursive-CTE component collapse, kept set
     o["pipeline_corpus_clean"] = f"""
         WITH RECURSIVE
         qual AS (
@@ -930,10 +933,19 @@ def oracle_sql() -> dict[str, str]:
           FROM read_parquet('{FIXTURE_DIR}/minhash_sig.parquet'),
                generate_series(0, 15) AS g(b)
           WHERE id IN (SELECT id FROM ex)),
-        prs AS (SELECT a.id AS id_a, b.id AS id_b
-                FROM banded a JOIN banded b
-                  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-                GROUP BY 1, 2),
+        cand AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+                 GROUP BY 1, 2),
+        gr AS (SELECT d.doc_id AS id, {grams3o} AS g
+               FROM documents d JOIN ex ON ex.id = d.doc_id
+               WHERE len({grams3o}) > 0),
+        prs AS (SELECT c.id_a, c.id_b
+                FROM cand c JOIN gr a ON a.id = c.id_a
+                            JOIN gr b ON b.id = c.id_b
+                WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                            (len(a.g) + len(b.g)
+                             - len(list_intersect(a.g, b.g))), 6) >= 0.5),
         edges AS (SELECT id_a AS a, id_b AS b FROM prs
                   UNION SELECT id_b, id_a FROM prs),
         nodes AS (SELECT DISTINCT a AS id FROM edges),

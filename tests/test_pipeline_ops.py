@@ -553,3 +553,54 @@ def test_corpus_clean_composition(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r["doc_id"] for r in corpus_clean(df, "text", "doc_id").collect()}
     assert kept == {1, 5}
+
+
+def _lsh_false_positive_text(base: str) -> str:
+    """Deterministic text that band-collides with ``base`` under the
+    default minhash params (64 perm / 16 bands, seed 42) yet has true
+    char-3-gram jaccard 0.378788 < 0.5 — found by sweep, pinned here."""
+    import random
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+             "november", "oscar", "papa", "quebec", "romeo", "sierra",
+             "tango", "uniform", "victor", "whiskey", "xray", "yankee",
+             "zulu"]
+    rng = random.Random(7)
+    text = None
+    for i in range(49):
+        n = 20 + (i % 6) * 15
+        filler = " ".join(f"{rng.choice(words)}{rng.randint(100, 999)}"
+                          for _ in range(n))
+        text = base[:260] + " " + filler
+    return text
+
+
+def test_corpus_clean_survives_lsh_false_positive(spark):
+    """A moderately-similar NON-duplicate that happens to collide in an
+    LSH band must survive corpus_clean: the exact-jaccard verify stage
+    rejects the candidate before the component collapse, so the document
+    is never chained into a drop set on band-collision evidence alone."""
+    from mapbox_vector_tile_java_spark.operators.pipeline import corpus_clean
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest where tall trees grow ") * 3
+    fp_text = _lsh_false_positive_text(base)
+    rows = [Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),                 # exact dup -> drop
+            Row(doc_id=2, text=base + "tiny tail"),   # true near dup -> drop
+            Row(doc_id=3, text=fp_text)]              # LSH FP -> must KEEP
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # precondition: the pair really is an unverified LSH candidate...
+    cand = {(r.id_a, r.id_b)
+            for r in D.minhash_lsh_pairs(df, "text", "doc_id").collect()}
+    assert (0, 3) in cand
+    # ...whose true jaccard is below the dedup threshold
+    j = {(r.id_a, r.id_b): r.jaccard
+         for r in D.ngram_jaccard_pairs(df, "text", "doc_id", k=3,
+                                        threshold=0.0).collect()}
+    assert j[(0, 3)] < 0.5
+    kept = {r["doc_id"]
+            for r in corpus_clean(df, "text", "doc_id",
+                                  min_quality=0.0).collect()}
+    assert kept == {0, 3}
