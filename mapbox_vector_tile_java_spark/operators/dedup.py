@@ -475,6 +475,8 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
         return ids, cnts, np.concatenate(([0], np.cumsum(cnts)))
 
     def verify(batches):
+        from ..codecs.gather import multi_range
+
         rw = width + 1
         for batch in batches:
             prs_col = batch.column("prs")
@@ -509,27 +511,44 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
                 ok = np.zeros(len(ida), dtype=bool)
                 if len(xi) and len(yi):
                     ok = (xi[pa_] == ida) & (yi[pb_] == idb)
-                out_a, out_b, out_j = [], [], []
-                for j in np.flatnonzero(ok):
-                    ai, bi = pa_[j], pb_[j]
-                    av = cx[xo[ai] : xo[ai + 1]]
-                    bv = cy[yo[bi] : yo[bi + 1]]
-                    if len(av) > len(bv):
-                        av, bv = bv, av
-                    idx = np.searchsorted(bv, av)
-                    okk = idx < len(bv)
-                    inter = int((bv[idx[okk]] == av[okk]).sum())
-                    union = int(xc[ai] + yc[bi] - inter)
-                    jac = float(round_half_away(
-                        np.array([inter / union]), 6)[0]) if union else 0.0
-                    if jac >= threshold:
-                        out_a.append(int(ida[j]))
-                        out_b.append(int(idb[j]))
-                        out_j.append(jac)
+                sel = np.flatnonzero(ok)
+                if not len(sel):
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([], type=pa.int64()),
+                         pa.array([], type=pa.int64()),
+                         pa.array([], type=pa.float64())],
+                        schema=out_schema)
+                    continue
+                # batched intersection: ONE searchsorted over every
+                # candidate at once. Each pair p's (sorted) code arrays are
+                # shifted by p * n_codes, so the concatenated target array
+                # stays globally sorted and one binary-search pass answers
+                # all pairs; per-pair hit counts fall out of a reduceat
+                # over the needle boundaries. No Python-level per-pair
+                # iteration remains.
+                ai, bi = pa_[sel], pb_[sel]
+                la, lb = xc[ai], yc[bi]
+                stride = np.int64(len(codes)) if len(codes) else np.int64(1)
+                pair_no = np.arange(len(sel), dtype=np.int64)
+                A = (cx[multi_range(xo[ai], la)]
+                     + stride * np.repeat(pair_no, la))
+                B = (cy[multi_range(yo[bi], lb)]
+                     + stride * np.repeat(pair_no, lb))
+                pos = np.searchsorted(B, A)
+                hit = np.zeros(len(A), dtype=bool)
+                inb = pos < len(B)
+                hit[inb] = B[pos[inb]] == A[inb]
+                a_ofs = np.concatenate(([0], np.cumsum(la)))[:-1]
+                # bool reduceat would saturate (logical or) — count in int64
+                inter = (np.add.reduceat(hit.astype(np.int64), a_ofs)
+                         if len(A) else np.zeros(len(sel), dtype=np.int64))
+                union = la + lb - inter
+                jac = round_half_away(inter / union, 6)
+                keep = jac >= threshold
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(out_a, type=pa.int64()),
-                     pa.array(out_b, type=pa.int64()),
-                     pa.array(out_j, type=pa.float64())],
+                    [pa.array(ida[sel][keep], type=pa.int64()),
+                     pa.array(idb[sel][keep], type=pa.int64()),
+                     pa.array(jac[keep], type=pa.float64())],
                     schema=out_schema)
 
     return joined.mapInArrow(verify, from_arrow_schema(out_schema))

@@ -148,14 +148,15 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
     exchanges across jobs).
 
     ``n_parts``: the planned partition count, recorded in meta.json. Pass
-    it when known (the partition planners know it) — the fallback probes
-    ``df.rdd.getNumPartitions()``, which forces a DataFrame->RDD plan
-    conversion, an avoidable analysis pass on a 100 TB plan.
+    it when known (the partition planners know it) — the fallback is the
+    metadata-only ``estimate_width`` (input file count / default
+    parallelism); the recorded value is audit metadata, so an estimate is
+    acceptable where a plan->RDD conversion probe is not.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from ..plans.codec_plan import (collect_sample, overrides_from_plan,
-                                    plan_from_sample)
+    from ..plans.codec_plan import (collect_sample, estimate_width,
+                                    overrides_from_plan, plan_from_sample)
 
     os.makedirs(out_dir, exist_ok=True)
     overrides = dict(codec_overrides or {})
@@ -198,7 +199,7 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
     M.write_meta(out_dir, schema, symtabs,
                  {"note": config_note or {}, "plan": plan_note,
                   "n_parts": n_parts if n_parts is not None
-                             else df.rdd.getNumPartitions()})
+                             else estimate_width(df)})
     mdf = df.mapInArrow(make_encode_fn(out_dir, overrides, resume, schema),
                         M.manifest_spark_schema())
     # one action runs the whole job; the manifest lands from the EXECUTORS

@@ -244,13 +244,24 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
     # centroid count, not the realized one: train_centroids clamps to the
     # sample size on tiny corpora, and an index this call just built must
     # never fail its own check.
-    req = meta.get("requested_n_centroids", meta.get("n_centroids"))
-    if req != n_centroids or meta.get("seed") != seed:
+    # an index written before requested_n_centroids existed only records
+    # the REALIZED (possibly sample-clamped) count — comparing that against
+    # the caller's request would spuriously reject a matching index, so a
+    # missing field is treated as unknown and only the seed is enforced
+    req = meta.get("requested_n_centroids")
+    if (req is not None and req != n_centroids) or meta.get("seed") != seed:
         raise ValueError(
             f"index at {index_dir} was built with n_centroids={req}, "
             f"seed={meta.get('seed')} but caller requested "
             f"n_centroids={n_centroids}, seed={seed}; pass a fresh "
             f"index_dir (or delete the stale index) to rebuild")
+    if req is None:
+        import warnings
+
+        warnings.warn(
+            f"index at {index_dir} predates requested_n_centroids metadata; "
+            f"accepting on matching seed without verifying the centroid "
+            f"count (realized n_centroids={meta.get('n_centroids')})")
     C = load_centroids(index_dir)
     base = spark.read.parquet(os.path.join(index_dir, "assignments"))
 

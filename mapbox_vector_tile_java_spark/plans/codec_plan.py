@@ -31,8 +31,22 @@ GLOBAL_DICT_MAX = 4096          # max symbols for a broadcast dictionary
 FSST_TRAIN_BYTES = 1 << 19      # global tables train on a bigger sample
 
 
+def estimate_width(df) -> int:
+    """Metadata-only partition-count estimate: ``df.inputFiles()`` (parquet
+    splits at least one partition per file) or the session default
+    parallelism. Never ``df.rdd.getNumPartitions()``, which forces a
+    DataFrame->RDD plan conversion — an avoidable analysis pass on a
+    100 TB plan. Callers that know the real count pass it explicitly."""
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    return n if n > 0 else df.sparkSession.sparkContext.defaultParallelism
+
+
 def collect_sample(df, rows_per_part: int = SAMPLE_ROWS_PER_PART,
-                   sample_partitions: int = SAMPLE_PARTITIONS) -> pa.Table:
+                   sample_partitions: int = SAMPLE_PARTITIONS,
+                   n_parts: int | None = None) -> pa.Table:
     """One Spark job: head rows from ``sample_partitions`` evenly-strided
     partitions.
 
@@ -41,9 +55,20 @@ def collect_sample(df, rows_per_part: int = SAMPLE_ROWS_PER_PART,
     the codec plan, and therefore every encoded byte and checksum,
     reproduces across independent runs. Non-selected partitions' tasks
     return immediately; selected tasks read only their first Arrow batch.
+
+    ``n_parts``: the input's partition count when the caller knows it
+    (the partition planners do). The fallback estimate is metadata-only —
+    ``df.inputFiles()`` (parquet splits at least one partition per file)
+    or the session default parallelism — never
+    ``df.rdd.getNumPartitions()``, which forces a DataFrame->RDD plan
+    conversion. The estimate only spaces the sampled-partition stride;
+    under-estimating samples earlier partitions, and losslessness never
+    depends on the sample (module docstring), so an off estimate costs
+    sample spread, not correctness or determinism.
     """
-    nparts = df.rdd.getNumPartitions()
-    stride = max(1, nparts // sample_partitions)
+    if n_parts is None:
+        n_parts = estimate_width(df)
+    stride = max(1, n_parts // sample_partitions)
 
     def head(batches):
         from pyspark import TaskContext

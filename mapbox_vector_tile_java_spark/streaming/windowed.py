@@ -55,9 +55,22 @@ def host_profile_stream(stream_df: DataFrame, timeout_ms: int = 0,
     Built-in streaming aggregation cannot express "running totals emitted
     every batch with first/last-seen carried across batches" in update
     semantics with custom eviction — this is the applyInPandasWithState
-    shape: one state row per host, updated per micro-batch, optional
-    processing-time timeout eviction (timeout_ms > 0) to bound state for
-    long-tail hosts.
+    shape: one state row per host, updated per micro-batch, with optional
+    processing-time timeout eviction to bound state for long-tail hosts.
+
+    WARNING — the default ``timeout_ms=0`` DISABLES eviction: exact
+    lifetime totals, but state grows with every distinct host ever seen,
+    which is only safe for bounded key cardinality (a fixed crawl list, a
+    test fixture). On an unbounded production stream SET A TIMEOUT (e.g.
+    3_600_000 = 1 h): an idle host's state is then evicted after one final
+    emission, making state O(recently-active hosts); a host reappearing
+    after eviction restarts its totals, so merge re-emissions downstream
+    if lifetime totals matter. The non-eviction default is kept because a
+    timeout, once armed, makes ``processAllAvailable()`` unable to settle
+    (the engine schedules timeout-check batches forever), which would hang
+    the drain-the-source pattern fixtures and batch-parity harnesses use
+    (see tests/test_streaming.py::test_host_profile_timeout_evicts_state
+    for the polling pattern that works with eviction on).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

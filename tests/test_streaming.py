@@ -169,3 +169,75 @@ def test_host_profile_stateful_stream(spark, stream_dirs, tmp_path):
     got = {r["host"]: tuple(r)[1:] for r in last.collect()}
     exp = {r["host"]: tuple(r)[1:] for r in want.collect()}
     assert got == exp
+
+
+def test_host_profile_timeout_evicts_state(spark, tmp_path):
+    """With a small processing-time timeout, an idle host's state is
+    evicted (final emission fires on a later batch that doesn't contain
+    the host), and the host's totals RESTART when it reappears — proving
+    the state store does not grow with hosts that went quiet."""
+    import time
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from mapbox_vector_tile_java_spark.sources.webtext import SCHEMA
+    from mapbox_vector_tile_java_spark.streaming.windowed import (
+        host_profile_stream)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "prof_out")
+
+    def chunk(i, rows):
+        t = pa.Table.from_pylist(
+            [{"url": f"https://{h}/p{j}",
+              "warc_ts": 1_700_000_000_000_000 + j * 1_000_000,
+              "html": None, "text": "x" * 10, "lang": "en"}
+             for j, h in enumerate(rows)],
+            schema=SCHEMA)
+        pq.write_table(t, src / f"chunk-{i}.parquet")
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def a_counts():
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:
+            return []
+        return sorted(r["n_docs"] for r in rows if r["host"] == "a.example")
+
+    def wait_for(pred, timeout_s=60.0):
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if pred(a_counts()):
+                return
+            time.sleep(0.25)
+        raise AssertionError(f"timed out; emissions so far: {a_counts()}")
+
+    # NOTE: processAllAvailable() never settles once ProcessingTimeTimeout
+    # is armed (the engine keeps scheduling timeout-check batches), so this
+    # test polls the sink instead
+    stream = (spark.readStream.schema(from_arrow_schema(SCHEMA))
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    prof = host_profile_stream(stream, timeout_ms=300)
+    q = (prof.writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "prof_ckpt")).start())
+    try:
+        chunk(0, ["a.example", "a.example"])   # batch 1: host a, 2 docs
+        wait_for(lambda c: c == [2])
+        # idle past the timeout: the engine fires a timeout batch on its
+        # own and the hasTimedOut path re-emits a's final row (still 2)
+        wait_for(lambda c: c == [2, 2])
+        chunk(1, ["a.example"])                # a reappears post-eviction
+        wait_for(lambda c: 1 in c)
+    finally:
+        q.stop()
+
+    c = a_counts()
+    # the post-eviction emission is a RESTARTED total (1), never a
+    # cumulative 3 — proof the idle host's state was actually removed.
+    # (The restarted state may itself time out and re-emit more 1s.)
+    assert c.count(2) == 2 and 1 in c, c
+    assert max(c) == 2 and 3 not in c, c
