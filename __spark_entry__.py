@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
     q["dedup_simhash"] = lambda s, d: D.simhash_pairs(
         _read(s, d, "documents"), "text", "doc_id")
+    # winnowing-based candidates: the third near-dup route (substring
+    # guarantee) and its exact-verified composition
+    q["dedup_winnow_candidates"] = lambda s, d: D.winnow_candidate_pairs(
+        _read(s, d, "documents"), "text", "doc_id")
+    q["dedup_ngram_winnow_verified"] = lambda s, d: D.ngram_jaccard_winnow(
+        _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
     # cluster collapse: components of the minhash-LSH pair graph, canonical
     # member = min doc id (the doc a dedup pipeline keeps per cluster)
     q["dedup_components"] = lambda s, d: D.dedup_components(
@@ -999,6 +1005,45 @@ def oracle_sql() -> dict[str, str]:
           FROM h)
         SELECT DISTINCT id, fp FROM (
           SELECT doc_id AS id, unnest(wins) AS fp FROM w)"""
+
+    # winnow candidate pairs: the SAME pure-SQL winnow index (no fixture),
+    # stop-fingerprint cap at max_df=64, pairs sharing >= 2 fingerprints
+    winnow_fp_ctes = f"""
+        h AS (
+          SELECT doc_id, {roll_hash} AS hs
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 8 AND {ascii_guard}),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_transform(range(1, len(hs) - 4 + 2),
+                                  i -> list_min(list_slice(hs, i, i + 3)))
+                 ELSE [list_min(hs)] END AS wins
+          FROM h),
+        fp AS (SELECT DISTINCT id, fp FROM
+               (SELECT doc_id AS id, unnest(wins) AS fp FROM w)),
+        stop AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 64),
+        fpf AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM stop)),
+        wcand AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+          FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING count(*) >= 2)"""
+    o["dedup_winnow_candidates"] = f"""
+        WITH {winnow_fp_ctes}
+        SELECT id_a, id_b, n_shared FROM wcand"""
+    o["dedup_ngram_winnow_verified"] = f"""
+        WITH {winnow_fp_ctes},
+        gr AS (SELECT doc_id AS id, {grams3o} AS g FROM documents
+               WHERE len({grams3o}) > 0)
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(a.g, b.g)) * 1.0 /
+                     (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                 AS jaccard
+        FROM wcand c JOIN gr a ON a.id = c.id_a JOIN gr b ON b.id = c.id_b
+        WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+              >= 0.5"""
 
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 

@@ -394,6 +394,25 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
     >=0.99 for j>=0.8 at 64/16); precision is exact (every reported pair
     carries its true jaccard). Returns (id_a, id_b, jaccard).
 
+    Candidate generation is minhash-LSH; the exact verify stage is the
+    shared ``exact_jaccard_verify`` (see its docstring for the block-pair
+    plan). ``ngram_jaccard_winnow`` is the same composition with winnowing
+    fingerprints as the candidate generator.
+    """
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands,
+                              shingle_k, seed, work_dir=work_dir)
+    return exact_jaccard_verify(df, cands, text_col, id_col, k=k,
+                                threshold=threshold, block_rows=block_rows)
+
+
+def exact_jaccard_verify(df: DataFrame, cands: DataFrame, text_col: str,
+                         id_col: str, k: int = 3, threshold: float = 0.5,
+                         block_rows: int = 512) -> DataFrame:
+    """Exact char-k-gram jaccard over a candidate-pair DataFrame
+    (id_a, id_b) — the verify stage every sub-quadratic dedup route
+    composes with (minhash-LSH: ngram_jaccard_lsh; winnowing:
+    ngram_jaccard_winnow). Returns (id_a, id_b, jaccard >= threshold).
+
     Verify plan (the round-2 32.7s wall was here): gram sets are packed
     once per doc into sorted fixed-width records (_gram_record_df), docs
     are grouped into hash blocks, candidate pairs are grouped by their
@@ -412,8 +431,6 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
 
     width = 4 * k
     spark = df.sparkSession
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands,
-                              shingle_k, seed, work_dir=work_dir)
     fp = _materialize_fp(_gram_record_df(df, text_col, id_col, k),
                          spark, "mvt_gramrec_")
     n = fp.count()  # parquet metadata count on the materialized stage
@@ -552,6 +569,61 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
                     schema=out_schema)
 
     return joined.mapInArrow(verify, from_arrow_schema(out_schema))
+
+
+def winnow_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 8, window: int = 4,
+                           min_shared: int = 2,
+                           max_df: int = 64) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints — the third
+    candidate route next to minhash (set similarity) and simhash (hamming),
+    with the SIGMOD'03 guarantee the other two lack: any two documents
+    sharing a substring of length >= window + k - 1 share at least one
+    fingerprint, so long verbatim overlaps are NEVER missed, independent of
+    how dissimilar the rest of the documents is.
+
+    Plan: fingerprint_winnow builds the distinct (id, fp) index (one
+    vectorized kernel pass + one distinct shuffle); fingerprints appearing
+    in more than ``max_df`` documents are dropped as stop-fingerprints
+    (boilerplate — every pair they'd generate is also covered by the doc
+    pair's rarer shared fingerprints, and without the cap one viral navbar
+    string would emit a |docs|^2 blowup); the self-join on fp is then a
+    bucketed shuffle with per-bucket fan-out <= max_df^2. ``min_shared``
+    filters coincidental single-fp collisions. Returns
+    (id_a, id_b, n_shared).
+    """
+    from .textstats import fingerprint_winnow
+
+    fp = fingerprint_winnow(df, text_col, id_col, k, window)
+    stop = (fp.groupBy("fp").agg(F.count("*").alias("n"))
+              .where(F.col("n") > max_df).select("fp"))
+    # left_anti on fp shares the self-join's hash key; the stop set is
+    # tiny (<= |fp rows| / max_df) so AQE broadcasts it in practice
+    fpf = fp.join(stop, "fp", "left_anti")
+    a, b = fpf.alias("a"), fpf.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def ngram_jaccard_winnow(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 3, threshold: float = 0.5,
+                         fp_k: int = 8, window: int = 4,
+                         min_shared: int = 2, max_df: int = 64,
+                         block_rows: int = 512) -> DataFrame:
+    """Winnowing-candidate near-dup route: winnow_candidate_pairs ->
+    exact_jaccard_verify. Same output contract as ngram_jaccard_lsh
+    (id_a, id_b, true jaccard >= threshold), different recall envelope:
+    winnowing guarantees recall on shared-substring duplicates (mirror
+    pages, boilerplate wraps around identical bodies) where minhash
+    recall degrades smoothly with overall set similarity."""
+    cands = winnow_candidate_pairs(df, text_col, id_col, fp_k, window,
+                                   min_shared, max_df).select("id_a", "id_b")
+    return exact_jaccard_verify(df, cands, text_col, id_col, k=k,
+                                threshold=threshold, block_rows=block_rows)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,51 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
     assert (200, 201) in pairs
 
 
+def test_winnow_candidates_substring_guarantee(spark):
+    """SIGMOD'03 guarantee: docs sharing ANY substring of length
+    >= window + k - 1 (= 11 at defaults) share a fingerprint — even when
+    everything else about them is disjoint (where minhash recall ~ overall
+    set similarity would miss the pair)."""
+    shared = "zqxjkvbnmwpfghrluy" * 4  # 72 chars, disjoint from the filler
+    rows = [
+        Row(doc_id=0, text="aaaa bbbb cccc dddd " * 10 + shared),
+        Row(doc_id=1, text=shared + " eeee ffff gggg hhhh " * 10),
+        Row(doc_id=2, text="iiii jjjj kkkk llll " * 12),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.winnow_candidate_pairs(df, "text", "doc_id",
+                                               min_shared=1).collect()}
+    assert (0, 1) in pairs
+
+
+def test_winnow_stop_fingerprint_cap(spark):
+    """max_df drops boilerplate fingerprints: with max_df=1 every shared
+    fingerprint is a stop-fingerprint, so no pairs survive."""
+    shared = "zqxjkvbnmwpfghrluy" * 4
+    rows = [Row(doc_id=0, text="aaaa bbbb cccc dddd " * 10 + shared),
+            Row(doc_id=1, text=shared + " eeee ffff gggg hhhh " * 10)]
+    df = spark.createDataFrame(rows)
+    out = D.winnow_candidate_pairs(df, "text", "doc_id",
+                                   min_shared=1, max_df=1).collect()
+    assert out == []
+
+
+def test_ngram_winnow_verified_exact_precision(spark, docs):
+    """The winnow-candidate route's verified output is a SUBSET of the
+    exact quadratic baseline with identical jaccard values (precision is
+    exact), and the planted shared-substring dups are recalled."""
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_winnow(docs, "text", "doc_id",
+                                           min_shared=1).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            k=3, threshold=0.5).collect()}
+    assert (100, 101) in got and (200, 201) in got
+    for p, j in got.items():
+        assert exact[p] == j
+
+
 def test_simhash_finds_planted_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"])
              for r in D.simhash_pairs(docs, "text", "doc_id", max_hamming=6).collect()}
