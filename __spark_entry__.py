@@ -550,6 +550,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("html").alias("html_len"), "text", "lang")
     q["streaming_ingest_roundtrip"] = _streaming_ingest
 
+    # -- segment compaction: many small segments -> one re-planned table;
+    # the oracle checks CONTENT round-trips through the compaction (the
+    # segment structure is an implementation detail, the rows are the
+    # contract — MvtBuildTest.java:141-308 discipline)
+    def _compaction(s, d):
+        from mapbox_vector_tile_java_spark.streaming.incremental import (
+            compact_segments)
+
+        root = tempfile.mkdtemp(prefix="mvt_compact_")
+        src = webtext_df(s, 2_000, seed=42, partitions=4)
+        for k in range(3):
+            encode_webtext(
+                src.where(F.pmod(F.xxhash64("url"), F.lit(3)) == k),
+                os.path.join(root, f"segment={k}"), n_parts=2)
+        compact_segments(s, root, os.path.join(root, "c"), n_parts=4)
+        dec = decode_table(s, os.path.join(root, "c"))
+        return dec.select("url", F.unix_micros("warc_ts").alias("warc_ts_us"),
+                          F.length("html").alias("html_len"), "text", "lang")
+    q["compaction_roundtrip"] = _compaction
+
+    # -- metadata-only aggregates: count/nulls/min/max per column answered
+    # from the manifest alone (aggregate pushdown — zero data blocks read)
+    def _meta_stats(s, d):
+        from mapbox_vector_tile_java_spark.operators.decode import (
+            meta_column_stats)
+
+        out = tempfile.mkdtemp(prefix="mvt_meta_")
+        encode_webtext(webtext_df(s, 2_000, seed=42, partitions=4),
+                       os.path.join(out, "w"), n_parts=4)
+        return meta_column_stats(s, os.path.join(out, "w"))
+    q["meta_only_stats"] = _meta_stats
+
     # -- streaming analytics: event-time windowed agg + custom stateful op,
     # both over a deterministic 2-micro-batch file stream with SPREAD row
     # ids (ids * 4887 -> ~2h of event time, so the window agg produces many
@@ -633,6 +665,30 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/webtext5000.parquet')")
     o["streaming_ingest_roundtrip"] = (
         f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet')")
+    # compaction: content in == content out, segment structure is free
+    o["compaction_roundtrip"] = (
+        f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet')")
+    # metadata-only aggregates: DuckDB recomputes the same per-column stats
+    # from the raw fixture (timestamps in microsecond ticks, bytes-like
+    # columns have no zone map)
+    o["meta_only_stats"] = f"""
+        WITH f AS (SELECT * FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet'))
+        SELECT name, n_rows, null_count, min_i64, max_i64 FROM (
+          SELECT 'url' AS name, count(*) AS n_rows,
+                 count(*) - count(url) AS null_count,
+                 CAST(NULL AS BIGINT) AS min_i64,
+                 CAST(NULL AS BIGINT) AS max_i64 FROM f
+          UNION ALL
+          SELECT 'warc_ts', count(*), count(*) - count(warc_ts),
+                 min(epoch_us(warc_ts)), max(epoch_us(warc_ts)) FROM f
+          UNION ALL
+          SELECT 'html', count(*), count(*) - count(html), NULL, NULL FROM f
+          UNION ALL
+          SELECT 'text', count(*), count(*) - count(text), NULL, NULL FROM f
+          UNION ALL
+          SELECT 'lang', count(*), count(*) - count(lang), NULL, NULL FROM f
+        ) ORDER BY name
+    """
 
     o["compression_stats_documents"] = f"""
         SELECT name, CAST(sum(raw_bytes) AS BIGINT) AS raw_bytes,

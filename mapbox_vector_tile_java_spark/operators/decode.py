@@ -119,6 +119,32 @@ def read_manifest(spark, out_dir: str):
     return spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
 
 
+def meta_column_stats(spark, out_dir: str):
+    """Aggregate pushdown to metadata: per-column row count, null count and
+    (for int-like columns) min/max answered ENTIRELY from the manifest — no
+    data block is opened. This is the engine analog of parquet/Iceberg
+    aggregate pushdown: at 10^12 rows the manifest is the only thing read
+    (millions of rows, not trillions), and the plan is one partial+final
+    aggregation over the manifest parquet.
+
+    min/max are the encode-time zone-map values (``_minmax_i64``) — exact,
+    not sampled: every block records the true min/max of its rows
+    (timestamps in their native tick unit; bytes-like columns yield NULL).
+    The reference's analog is answering layer extent questions from the
+    tile header instead of decoding features (MvtReader.java:99-147 reads
+    layer metadata before any geometry decode).
+    """
+    from pyspark.sql import functions as F
+
+    m = read_manifest(spark, out_dir)
+    return (m.groupBy("name")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("null_count").alias("null_count"),
+                 F.min("min_i64").alias("min_i64"),
+                 F.max("max_i64").alias("max_i64"))
+            .orderBy("name"))
+
+
 def compression_report(spark, out_dir: str):
     """Per-column raw/encoded byte totals + ratio from the manifest."""
     from pyspark.sql import functions as F

@@ -25,9 +25,58 @@ def apply_malloc_env() -> None:
         os.environ.setdefault(k, v)
 
 
+def _probe_work(_):
+    import numpy as np
+
+    a = np.arange(4_000_000, dtype=np.int64)
+    for _ in range(12):
+        a = (a * 6364136223846793005 + 1442695040888963407)
+        a[::2] += a[1::2]  # strided touch: defeat pure-register loops
+    return int(a[0])
+
+
+def probe_effective_parallelism(n_procs: int = 8, rounds: int = 2) -> float:
+    """Measure how much of ``n_procs``-way speedup this host actually
+    delivers for memory-bandwidth-heavy numpy work (the codec kernels'
+    profile). Returns efficiency in [0, 1]: wall_1 * n / wall_n / n.
+
+    Sandbox hosts vary wildly between rounds — some give ~32 real cores,
+    some are bandwidth-throttled VMs where 32 concurrent kernel workers run
+    barely faster than 6 (measured: a 32-way encode job whose per-partition
+    kernel time balloons 4-40x under concurrency). A production cluster
+    solves this with executor sizing (fewer tasks per node for
+    bandwidth-bound stages, via spark.task.cpus); locally we probe once and
+    pick the same knob. Costs ~2-4 s, run OUTSIDE any timed region."""
+    import multiprocessing as mp
+    import time
+
+    best1 = bestn = 1e9
+    for _ in range(rounds):
+        t0 = time.time()
+        _probe_work(0)
+        best1 = min(best1, time.time() - t0)
+        with mp.Pool(n_procs) as p:
+            t0 = time.time()
+            p.map(_probe_work, range(n_procs))
+            bestn = min(bestn, time.time() - t0)
+    return max(0.0, min(1.0, best1 / bestn))
+
+
+def pick_task_cpus(cores: int, eff: float | None = None) -> int:
+    """Choose spark.task.cpus for codec-kernel jobs: 2 when the bandwidth
+    probe shows the host saturates well below its advertised core count
+    (halving concurrent workers costs nothing there and removes contention
+    — measured 2-3x faster encode walls), else 1."""
+    if cores < 8:
+        return 1
+    if eff is None:
+        eff = probe_effective_parallelism()
+    return 2 if eff < 0.5 else 1
+
+
 def get_spark(app: str = "mvt-spark", cores: int | str | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_rows: int = 65536):
+              arrow_batch_rows: int = 65536, task_cpus: int = 1):
     from pyspark.sql import SparkSession
 
     apply_malloc_env()  # before the JVM forks python workers
@@ -35,6 +84,7 @@ def get_spark(app: str = "mvt-spark", cores: int | str | None = None,
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
+        .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -76,6 +76,65 @@ def decode_segments(spark, out_dir: str, columns: list[str] | None = None) -> Da
     return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
+def compact_segments(spark, out_dir: str, dst_dir: str, n_parts: int,
+                     url_col: str = "url", resume: bool = True):
+    """Merge every committed segment into ONE compacted encoded table.
+
+    A micro-batch-per-segment layout accumulates small segments (each with
+    its own plan, symbol tables and sub-optimally small blocks) — the LSM
+    problem. Compaction decodes the union of segments (map-only, no
+    shuffle: each block row is self-contained) and re-encodes it through
+    the normal planner at a production partition count, so the compacted
+    table gets one global plan, full-size FSST/dict tables trained on the
+    whole corpus slice, and ``n_parts`` right-sized blocks.
+
+    Correctness contract (the reference's discipline: what round-trips is
+    the table's CONTENT, not its segment structure — a tile re-encoded from
+    decoded features must decode identically, MvtBuildTest.java:141-308):
+    decode(compact(segments)) must equal decode(segments) row-for-row.
+
+    Scale: one decode map + one repartition shuffle + one encode map —
+    identical plan shape to a fresh bulk encode; ``resume=True`` gives the
+    same per-partition idempotent commit, so a killed compaction rerun
+    skips finished partitions. The swap into place is ``promote_compacted``
+    (separate, so callers control the cutover point).
+    """
+    from ..operators.encode import encode_webtext
+
+    df = decode_segments(spark, out_dir)
+    return encode_webtext(df, dst_dir, n_parts=n_parts, url_col=url_col,
+                          resume=resume)
+
+
+def promote_compacted(out_dir: str, compacted_dir: str) -> str:
+    """Atomically (rename-level) replace ``out_dir``'s segments with the
+    compacted table as ``segment=0``. Old segments are moved aside into
+    ``<out_dir>/.pre_compact/`` rather than deleted — the caller reaps that
+    directory after verifying the compacted table (the same
+    verify-then-delete discipline as the encode commit markers).
+
+    NOTE on real object stores: directory rename is not atomic on S3-style
+    stores; production there would commit via a manifest-of-segments
+    pointer swap instead. The segment layout already supports that (a
+    segment is discovered only through its committed manifest).
+    """
+    import shutil
+    import time as _time
+
+    segs = list_segments(out_dir)
+    if not os.path.exists(os.path.join(compacted_dir, "manifest.parquet")):
+        raise FileNotFoundError(
+            f"compacted table at {compacted_dir} has no committed manifest")
+    aside = os.path.join(out_dir, ".pre_compact",
+                         _time.strftime("%Y%m%dT%H%M%S"))
+    os.makedirs(aside, exist_ok=True)
+    for s in segs:
+        shutil.move(s, os.path.join(aside, os.path.basename(s)))
+    dst = os.path.join(out_dir, "segment=0")
+    shutil.move(compacted_dir, dst)
+    return dst
+
+
 def segments_manifest(spark, out_dir: str):
     from functools import reduce
 
