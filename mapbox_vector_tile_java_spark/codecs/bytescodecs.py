@@ -307,24 +307,33 @@ def _tokd_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
     if n == 0:
         return b"\x00"
     lens = np.ascontiguousarray(lens, dtype=np.int64)
-    # data2 = rows with one separator appended each (tokens never cross rows)
+    # Logical model: data2 = rows with one separator appended each (tokens
+    # never cross rows); sp = every 0x20 position in data2. data2 is NEVER
+    # materialized — a data-space byte at position p in row r maps to
+    # data2 position p + r, so sp is the sorted union of (in-row spaces
+    # shifted by their row index) and the appended per-row separators.
+    # Identical output to the former scatter-built data2 at ~4 memory
+    # passes over the payload instead of ~19 (the 8-byte scatter/gather
+    # index arrays dominated traffic on bandwidth-bound hosts).
     cum = np.cumsum(lens)
-    total2 = int(cum[-1]) + n
-    data2 = pbuf("tokd.d2", total2, np.uint8)
     sep_pos = cum + np.arange(1, n + 1, dtype=np.int64) - 1
-    row_start2 = sep_pos - lens
     if len(data):
-        data2[multi_range(row_start2, lens)] = data
-    data2[sep_pos] = TOK_SEP
-
-    sp = np.flatnonzero(data2 == TOK_SEP)
+        mask = data == TOK_SEP
+        sd = np.flatnonzero(mask)
+        if len(sd):
+            row_of = np.searchsorted(cum, sd, side="right")
+            sp = np.sort(np.concatenate([sd + row_of, sep_pos]))
+        else:
+            sp = sep_pos
+        values = data[~mask]
+    else:
+        sp = sep_pos
+        values = data
     tok_lens = np.diff(sp, prepend=-1) - 1
     n_tokens = len(sp)
     # tokens per row = separators up to & incl. the row's appended one
     c = np.searchsorted(sp, sep_pos, side="left") + 1
     tokens_per_row = np.diff(c, prepend=0)
-
-    values = data2[data2 != TOK_SEP]
     tofs = np.zeros(n_tokens + 1, dtype=np.int64)
     np.cumsum(tok_lens, out=tofs[1:])
     tok_arr = pa.LargeBinaryArray.from_buffers(
@@ -351,15 +360,15 @@ def _tokd_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
     parts.append(encode_int_sub(tokens_per_row))
     put_uvarint(parts, len(t_lens))
     parts.append(encode_int_sub(t_lens))
-    tb = t_data.tobytes()
+    tb_len = t_data.nbytes  # materialize bytes only if the raw path wins
     table = params.get("fsst_table")
-    use_fsst = len(tb) >= 2048 and params.get("table_fsst", True)
+    use_fsst = tb_len >= 2048 and params.get("table_fsst", True)
     if use_fsst:
         if table is None:
             table = fsstmod.train(t_data, sample_cap=1 << 16)
         comp = table.compress(t_data)
         stb = table.table_bytes()
-        if len(comp) + len(stb) + 10 < len(tb):
+        if len(comp) + len(stb) + 10 < tb_len:
             parts.append(b"\x01")
             put_section(parts, stb)
             put_section(parts, comp)
@@ -367,7 +376,7 @@ def _tokd_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
             use_fsst = False
     if not use_fsst:
         parts.append(b"\x00")
-        parts.append(tb)
+        parts.append(t_data.tobytes())
     parts.append(encode_int_sub(ids))
     return b"".join(parts)
 
