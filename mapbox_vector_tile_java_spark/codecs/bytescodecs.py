@@ -406,14 +406,29 @@ def _tokd_decode(r: ByteReader, n: int, ctx: dict | None = None):
     t_ofs = np.zeros(nuniq + 1, dtype=np.int64)
     np.cumsum(t_lens, out=t_ofs[1:])
 
-    tok_lens = t_lens[ids]
-    d2_lens = tok_lens + 1  # token + its separator
-    total2 = int(d2_lens.sum())
-    data2 = pbuf("tokd.dec", total2, np.uint8)
-    data2.fill(TOK_SEP)
-    ends2 = np.cumsum(d2_lens)
-    gathered = np.asarray(t_data)[multi_range(t_ofs[:-1][ids], tok_lens)]
-    data2[multi_range(ends2 - d2_lens, tok_lens)] = gathered
+    # Reconstruct via one Arrow C++ take on a (token + separator) dictionary:
+    # the taken array's values buffer IS data2 (every token already carries
+    # its trailing separator), so no python-side index arrays are built at
+    # output scale — the former multi_range gather+scatter shipped 8 bytes
+    # of int64 index per output byte, which dominated decode on
+    # bandwidth-bound hosts. The small dictionary rebuild is O(table).
+    td = np.ascontiguousarray(np.asarray(t_data, dtype=np.uint8))
+    sep_ofs = t_ofs + np.arange(nuniq + 1, dtype=np.int64)
+    td_sep = np.empty(len(td) + nuniq, dtype=np.uint8)
+    is_tok = np.ones(len(td_sep), dtype=bool)
+    is_tok[sep_ofs[1:] - 1] = False
+    td_sep[is_tok] = td
+    td_sep[~is_tok] = TOK_SEP
+    dict_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), nuniq,
+        [None, pa.py_buffer(sep_ofs), pa.py_buffer(td_sep)])
+    taken = dict_arr.take(pa.array(ids, type=pa.int64()))
+    buf_ofs = np.frombuffer(taken.buffers()[1], dtype=np.int64)[
+        taken.offset: taken.offset + n_tokens + 1]
+    ends2 = buf_ofs[1:] - buf_ofs[0]  # rebase: data2 below starts at buf_ofs[0]
+    total2 = int(ends2[-1]) if n_tokens else 0
+    data2 = np.frombuffer(taken.buffers()[2], dtype=np.uint8)[
+        buf_ofs[0]: buf_ofs[0] + total2]
     # rows = data2 split at each row's final (appended) separator, dropped
     ct = np.cumsum(tokens_per_row)
     if len(ct) and int(ct[-1]) != n_tokens:

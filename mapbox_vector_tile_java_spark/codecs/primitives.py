@@ -80,6 +80,12 @@ def varint_decode(buf: bytes | np.ndarray, n: int) -> tuple[np.ndarray, int]:
     if n == 0:
         return np.empty(0, dtype=np.uint64), 0
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    # a valid varint spans <=10 bytes, so the n-th terminator lies within
+    # the first 10n bytes — bound the scan (callers hand us the whole
+    # remaining blob, and scanning megabytes to decode a 300-value header
+    # stream dominated decode wall on bandwidth-bound hosts)
+    if len(b) > 10 * n:
+        b = b[: 10 * n]
     term = np.flatnonzero(b < 0x80)
     if len(term) < n:
         raise ValueError(f"varint stream truncated: need {n} values, found {len(term)}")
