@@ -93,9 +93,9 @@ def main():
         d = f"{enc_dir}_{_enc_n[0]}"
         encode_webtext(base, d, n_parts=CPUS)
         return d
-    enc_dir = timed("webtext_encode", _encode, repeats=3)
+    enc_dir = timed("webtext_encode", _encode, repeats=4)
     timed("webtext_decode", lambda: decode_table(spark, enc_dir)
-          .agg(F.count("*"), F.sum(F.length("text"))).collect(), repeats=3)
+          .agg(F.count("*"), F.sum(F.length("text"))).collect(), repeats=4)
     timed("webtext_decode_pruned", lambda: decode_table(
         spark, enc_dir, columns=["url", "lang"]).groupBy("lang").count().collect())
 
