@@ -42,6 +42,11 @@ AUDITS = [
      "MapInArrow kernel per block pair — gram bytes never shuffle per "
      "candidate pair",
      ["MapInArrow", "Exchange", "HashAggregate"]),
+    ("meta_only_stats",
+     "aggregate pushdown to metadata: the ONLY scan is manifest.parquet "
+     "(no c_* blob columns in any ReadSchema), partial agg before the "
+     "exchange",
+     ["FileScan", "ReadSchema", "HashAggregate", "Exchange"]),
 ]
 
 HEADER = """# Physical-plan audit (sf0.01, local[8])
