@@ -17,6 +17,14 @@ MALLOC_ENV = {
     "MALLOC_MMAP_THRESHOLD_": "2147483648",
     "MALLOC_TRIM_THRESHOLD_": "2147483648",
     "MALLOC_TOP_PAD_": "268435456",
+    # pyarrow's bundled jemalloc returns pages to the OS between batches, so
+    # every incoming Arrow batch faults fresh pages — through this sandbox's
+    # ~150 MB/s serialized fault path that both slows workers and amplifies
+    # ambient noise (measured local[4] encode: jemalloc 27-105 s/run vs
+    # system 18.5-22 s tight). The system allocator inherits the glibc
+    # tunables above, so worker heaps stay warm. Trade: steady-state RSS
+    # does not shrink between batches (bounded by Arrow batch size).
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 
