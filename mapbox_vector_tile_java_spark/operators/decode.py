@@ -115,6 +115,136 @@ def decode_table(spark, out_dir: str, columns: list[str] | None = None,
         make_decode_fn(schema, symtabs, columns, verify_crc), spark_schema)
 
 
+def _norm_file_dir(path: str) -> str:
+    """Normalize a Spark ``input_file_name()`` URI to the realpath of its
+    parent directory (the segment's blocks dir) for symtab-namespace lookup."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(path)
+    local = unquote(p.path) if p.scheme else path
+    return os.path.realpath(os.path.dirname(local))
+
+
+def make_multi_decode_fn(schema: pa.Schema,
+                         symtabs_by_dir: dict[str, dict[int, list[bytes]]],
+                         columns: list[str] | None, verify_crc: bool = True):
+    """Decode fn for blocks drawn from MANY segments in one scan: the last
+    input column is the block's source file (``input_file_name``), which
+    selects the segment's symbol-table namespace. Per-ROW lookup cost is
+    negligible — each row is a whole encoded block, and a scan partition
+    rarely mixes files anyway."""
+    names = columns or schema.names
+    out_schema = pa.schema([schema.field(n) for n in names])
+
+    def fn(batches):
+        from ..codecs.gather import warm_heap
+        from ..columns import content_crc
+
+        warm_heap()
+        ctx_cache: dict[str, dict] = {}
+        for b in batches:
+            blobs = {n: b.column(f"c_{n}") for n in names}
+            crcs = {n: b.column(f"crc_{n}") for n in names} if verify_crc else {}
+            srcs = b.column("__src_file")
+            for i in range(b.num_rows):
+                raw_src = srcs[i].as_py()
+                ctx = ctx_cache.get(raw_src)
+                if ctx is None:
+                    key = _norm_file_dir(raw_src)
+                    try:
+                        ctx = {"symtabs": symtabs_by_dir[key]}
+                    except KeyError:
+                        raise ValueError(
+                            f"block file {raw_src!r} (dir {key!r}) matches no "
+                            f"known segment — segment list changed under the "
+                            f"decode?") from None
+                    ctx_cache[raw_src] = ctx
+                arrays = []
+                for n in names:
+                    blob = blobs[n][i].as_buffer()
+                    arr = decode_column(blob, out_schema.field(n).type, ctx)
+                    if verify_crc:
+                        want = crcs[n][i].as_py()
+                        if want is not None:
+                            if want < 0:
+                                want += 1 << 64
+                            got = content_crc(arr)
+                            if got != want:
+                                raise ValueError(
+                                    f"checksum mismatch decoding column {n!r}: "
+                                    f"manifest={want} decoded={got} — block is corrupt")
+                    arrays.append(arr)
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return fn
+
+
+def decode_table_multi(spark, seg_dirs: list[str],
+                       columns: list[str] | None = None,
+                       zone_filters: list[tuple[str, int, int]] | None = None,
+                       verify_crc: bool = True):
+    """Decode MANY encoded tables (streaming segments) as ONE DataFrame with
+    a plan whose depth does not grow with the segment count.
+
+    A union-of-``decode_table`` plan is O(#segments) deep — fine at 3
+    segments, but a year of micro-batches (10^4-10^5 segments) would melt
+    the analyzer before any task runs. Here the union happens at the FILE
+    LISTING level instead: one parquet scan over every segment's block
+    files, one ``mapInArrow``, with ``input_file_name()`` carrying each
+    block's segment so the decode fn resolves the right symbol-table
+    namespace (symtab ids are per-segment). Driver cost is O(#segments)
+    small meta.json reads — listing cost, not plan cost.
+
+    All segments must share one logical schema (they are micro-batches of
+    the same stream); a mismatch raises rather than miscasts.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if not seg_dirs:
+        raise ValueError("decode_table_multi: empty segment list")
+    schema = None
+    symtabs_by_dir: dict[str, dict[int, list[bytes]]] = {}
+    files: list[str] = []
+    for s in seg_dirs:
+        seg_schema, symtabs, _ = M.read_meta(s)
+        if schema is None:
+            schema = seg_schema
+        elif seg_schema != schema:
+            raise ValueError(
+                f"segment {s!r} schema {seg_schema} != first segment's "
+                f"{schema} — segments must share one logical schema")
+        bdir = M.blocks_dir(s)
+        symtabs_by_dir[os.path.realpath(bdir)] = symtabs
+        files.extend(sorted(_glob.glob(os.path.join(bdir, "*.parquet"))))
+    names = columns or schema.names
+    for c in names:
+        if c not in schema.names:
+            raise KeyError(f"unknown column {c}")
+    out_fields = [schema.field(n) for n in names]
+    spark_schema = from_arrow_schema(pa.schema(out_fields))
+    if not files:
+        # all segments were zero-row tables (no block files written)
+        return spark.createDataFrame([], spark_schema)
+    blocks = spark.read.parquet(*files).withColumn(
+        "__src_file", F.input_file_name())
+    if zone_filters:
+        for col, lo, hi in zone_filters:
+            blocks = blocks.filter(
+                F.col(f"mn_{col}").isNull()
+                | ((F.col(f"mn_{col}") <= F.lit(int(hi)))
+                   & (F.col(f"mx_{col}") >= F.lit(int(lo)))))
+    need = ["part_id", "block_id", "n_rows"] + [f"c_{n}" for n in names]
+    if verify_crc:
+        need += [f"crc_{n}" for n in names]
+    blocks = blocks.select(*need, "__src_file")
+    return blocks.mapInArrow(
+        make_multi_decode_fn(schema, symtabs_by_dir, columns, verify_crc),
+        spark_schema)
+
+
 def read_manifest(spark, out_dir: str):
     return spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
 

@@ -384,6 +384,7 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, seed: int = 42,
                       block_rows: int = 512,
+                      hash_bands: bool = True,
                       work_dir: str | None = None) -> DataFrame:
     """Scale-path near-dup detection: minhash-LSH candidate pairs, then
     EXACT char-k-gram jaccard computed only on the candidates.
@@ -398,9 +399,18 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
     shared ``exact_jaccard_verify`` (see its docstring for the block-pair
     plan). ``ngram_jaccard_winnow`` is the same composition with winnowing
     fingerprints as the candidate generator.
+
+    ``hash_bands`` defaults to True here (unlike ``minhash_lsh_pairs``,
+    whose raw array<long> band key is what the DuckDB oracle reproduces
+    directly): this IS the scale entry point, and the 8-byte xxhash64 band
+    key is the right shuffle-key size at 10^12 docs. The candidate set is
+    identical to the raw-key set modulo a 2^-64-per-bucket hash collision,
+    and the exact-verify stage makes even that harmless for precision —
+    a colliding non-duplicate pair is measured and dropped.
     """
     cands = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands,
-                              shingle_k, seed, work_dir=work_dir)
+                              shingle_k, seed, hash_bands=hash_bands,
+                              work_dir=work_dir)
     return exact_jaccard_verify(df, cands, text_col, id_col, k=k,
                                 threshold=threshold, block_rows=block_rows)
 

@@ -127,7 +127,8 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
                  sample: "pa.Table | None" = None,
                  codec_overrides: dict | None = None, resume: bool = True,
                  config_note: dict | None = None, n_parts: int | None = None):
-    """Encode a (pre-partitioned) DataFrame. Returns the manifest table.
+    """Encode a (pre-partitioned) DataFrame. Returns the manifest as a
+    lazy DataFrame over the landed manifest parquet.
 
     Callers should partition first (plans.partitioning.plan_webtext /
     plan_generic); this function does no shuffle of its own.
@@ -205,23 +206,35 @@ def encode_table(df, out_dir: str, *, plan: str = "global",
     # one action runs the whole job; the manifest lands from the EXECUTORS
     # (a parquet directory) — at the 400k partitions of docs/SCALE.md the
     # manifest is millions of rows, which must never route through a
-    # driver collect
+    # driver collect, so the return value is a LAZY scan of the landed
+    # parquet (aggregate it distributed; see decode.read_manifest /
+    # meta_column_stats), never an in-memory table
     mpath = os.path.join(out_dir, "manifest.parquet")
     mdf.write.mode("overwrite").parquet(mpath)
-    mtable = pq.read_table(mpath).cast(M.MANIFEST_ARROW)
-    return mtable
+    return df.sparkSession.read.parquet(mpath)
 
 
 def encode_webtext(df, out_dir: str, n_parts: int, url_col: str = "url",
-                   resume: bool = True, config_note: dict | None = None):
+                   resume: bool = True, config_note: dict | None = None,
+                   skip_if_empty: bool = False):
     """Full webtext pipeline: ONE sampling job on the unshuffled input
     drives both skew salting and codec planning, then one shuffle+encode
-    job. This is the production entry point for the north-rule table."""
+    job. This is the production entry point for the north-rule table.
+
+    ``skip_if_empty``: return None without creating ``out_dir`` when the
+    input has no rows. The check piggybacks on the sampling job this
+    function already runs — only a 0-row sample (rare: empty input, or a
+    pathological partitioning that leaves every sampled partition empty)
+    pays one extra ``isEmpty`` probe. This is how the streaming sink skips
+    empty micro-batches without a dedicated per-batch probe job.
+    """
     from ..plans.codec_plan import (collect_sample, hot_keys_from_sample,
                                     plan_from_sample)
     from ..plans.partitioning import plan_webtext
 
     sample = collect_sample(df)
+    if skip_if_empty and sample.num_rows == 0 and df.isEmpty():
+        return None
     hot = hot_keys_from_sample(sample, url_col, n_parts)
     planned = plan_webtext(df, n_parts, url_col=url_col, hot_hosts=hot)
     return encode_table(planned, out_dir, sample=sample, resume=resume,

@@ -14,8 +14,13 @@ Design:
   checkpoint (batch replay) with segment-level idempotence: a replayed
   batch re-enters ``encode_table`` with ``resume=True`` and every committed
   partition is skipped, so duplicate delivery cannot duplicate bytes;
-- ``read_segments``/``decode_segments`` union all segments back into one
-  DataFrame — segments are just more partitions of the same table.
+- ``decode_segments`` reads all segments back as one DataFrame through ONE
+  flat scan (``decode_table_multi``) — plan depth does not grow with the
+  segment count, so 10^5 accumulated micro-batches stay analyzable;
+- ``compact_segments`` + ``promote_compacted`` are the LSM answer to
+  segment accumulation; compacted segments live in their own name space
+  (``segment=compacted-<uid>``) so a stream restarted with a fresh
+  checkpoint can never replay batch 0 INTO a compacted table.
 
 This is the streaming analog of the layer-per-tile layout: a segment is a
 tile appended to a growing tileset.
@@ -23,9 +28,12 @@ tile appended to a growing tileset.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
+
+_SNAPSHOT_FILE = "compact_sources.json"
 
 
 def encode_stream(stream_df: DataFrame, out_dir: str, n_parts: int = 4,
@@ -33,18 +41,19 @@ def encode_stream(stream_df: DataFrame, out_dir: str, n_parts: int = 4,
     """Start a streaming query that encodes each micro-batch as a segment.
 
     Returns the StreamingQuery; caller manages its lifecycle
-    (processAllAvailable / stop).
+    (processAllAvailable / stop). Empty micro-batches are skipped via the
+    encode pipeline's own sampling job (``skip_if_empty``) — no dedicated
+    per-batch probe job runs at production trigger rates.
     """
     from ..operators.encode import encode_webtext
 
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int):
-        if len(batch_df.take(1)) == 0:
-            return
         seg = os.path.join(out_dir, f"segment={batch_id}")
         # resume=True inside encode_webtext makes batch replay idempotent
-        encode_webtext(batch_df, seg, n_parts=n_parts, url_col=url_col)
+        encode_webtext(batch_df, seg, n_parts=n_parts, url_col=url_col,
+                       skip_if_empty=True)
 
     writer = (stream_df.writeStream
               .foreachBatch(sink)
@@ -54,39 +63,62 @@ def encode_stream(stream_df: DataFrame, out_dir: str, n_parts: int = 4,
     return writer.start()
 
 
+def _seg_order(basename: str):
+    """Oldest-first segment ordering: compacted segments hold the oldest
+    data by construction, then numeric micro-batch ids in batch order,
+    then anything else lexicographically."""
+    name = basename.split("=", 1)[1]
+    if name.startswith("compacted-"):
+        return (0, 0, name)
+    try:
+        return (1, int(name), "")
+    except ValueError:
+        return (2, 0, name)
+
+
 def list_segments(out_dir: str) -> list[str]:
-    segs = sorted(
-        d for d in os.listdir(out_dir)
-        if d.startswith("segment=") and
-        os.path.exists(os.path.join(out_dir, d, "manifest.parquet")))
+    segs = [d for d in os.listdir(out_dir)
+            if d.startswith("segment=") and
+            os.path.exists(os.path.join(out_dir, d, "manifest.parquet"))]
+    segs.sort(key=_seg_order)
     return [os.path.join(out_dir, d) for d in segs]
 
 
 def decode_segments(spark, out_dir: str, columns: list[str] | None = None) -> DataFrame:
-    """Union-decode every committed segment (segments are just extra
-    partitions of one logical table)."""
-    from functools import reduce
+    """Decode every committed segment as one DataFrame.
 
-    from ..operators.decode import decode_table
+    One flat scan over all segments' block files (plan depth O(1) in the
+    segment count), with per-segment symbol-table namespaces resolved by
+    block source file — see ``decode_table_multi``.
+    """
+    from ..operators.decode import decode_table_multi
 
     segs = list_segments(out_dir)
     if not segs:
         raise FileNotFoundError(f"no committed segments under {out_dir}")
-    dfs = [decode_table(spark, s, columns=columns) for s in segs]
-    return reduce(lambda a, b: a.unionByName(b), dfs)
+    return decode_table_multi(spark, segs, columns=columns)
 
 
 def compact_segments(spark, out_dir: str, dst_dir: str, n_parts: int,
-                     url_col: str = "url", resume: bool = True):
-    """Merge every committed segment into ONE compacted encoded table.
+                     url_col: str = "url", resume: bool = True,
+                     max_segments: int | None = None):
+    """Merge committed segments into ONE compacted encoded table.
 
     A micro-batch-per-segment layout accumulates small segments (each with
     its own plan, symbol tables and sub-optimally small blocks) — the LSM
-    problem. Compaction decodes the union of segments (map-only, no
+    problem. Compaction decodes the union of segments (ONE flat scan, no
     shuffle: each block row is self-contained) and re-encodes it through
     the normal planner at a production partition count, so the compacted
     table gets one global plan, full-size FSST/dict tables trained on the
     whole corpus slice, and ``n_parts`` right-sized blocks.
+
+    Live-stream safety: the segment list is SNAPSHOTTED here and persisted
+    into ``dst_dir`` (compact_sources.json). ``promote_compacted`` swaps
+    out exactly the snapshotted segments — a segment the stream commits
+    between compact and promote is left in place and stays readable.
+    ``max_segments`` bounds one compaction round to the K oldest segments
+    (tiered compaction): at production cadence run it periodically so no
+    single round decodes an unbounded backlog.
 
     Correctness contract (the reference's discipline: what round-trips is
     the table's CONTENT, not its segment structure — a tile re-encoded from
@@ -99,19 +131,40 @@ def compact_segments(spark, out_dir: str, dst_dir: str, n_parts: int,
     skips finished partitions. The swap into place is ``promote_compacted``
     (separate, so callers control the cutover point).
     """
+    from ..operators.decode import decode_table_multi
     from ..operators.encode import encode_webtext
 
-    df = decode_segments(spark, out_dir)
-    return encode_webtext(df, dst_dir, n_parts=n_parts, url_col=url_col,
-                          resume=resume)
+    segs = list_segments(out_dir)
+    if not segs:
+        raise FileNotFoundError(f"no committed segments under {out_dir}")
+    if max_segments is not None:
+        segs = segs[:max_segments]
+    df = decode_table_multi(spark, segs)
+    man = encode_webtext(df, dst_dir, n_parts=n_parts, url_col=url_col,
+                         resume=resume)
+    snap = os.path.join(dst_dir, _SNAPSHOT_FILE)
+    tmp = snap + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"source_segments": [os.path.basename(s) for s in segs]}, f)
+    os.replace(tmp, snap)
+    return man
 
 
-def promote_compacted(out_dir: str, compacted_dir: str) -> str:
-    """Atomically (rename-level) replace ``out_dir``'s segments with the
-    compacted table as ``segment=0``. Old segments are moved aside into
-    ``<out_dir>/.pre_compact/`` rather than deleted — the caller reaps that
-    directory after verifying the compacted table (the same
-    verify-then-delete discipline as the encode commit markers).
+def promote_compacted(out_dir: str, compacted_dir: str,
+                      segments: list[str] | None = None) -> str:
+    """Swap the compacted table in as ``segment=compacted-<uid>`` and move
+    its SOURCE segments aside. Segments committed after the compaction
+    snapshot are untouched and stay readable throughout.
+
+    ``segments``: basenames to retire; defaults to the snapshot
+    ``compact_segments`` persisted into ``compacted_dir``. Old segments are
+    moved aside into a fresh ``<out_dir>/.pre_compact/<unique>/`` directory
+    rather than deleted — the caller reaps that directory after verifying
+    the compacted table (the same verify-then-delete discipline as the
+    encode commit markers). The compacted segment name lives OUTSIDE the
+    numeric micro-batch namespace, so a stream restarted with a fresh
+    checkpoint (which replays batch 0 into ``segment=0``) can never collide
+    with — and silently resume-skip into — the compacted table.
 
     NOTE on real object stores: directory rename is not atomic on S3-style
     stores; production there would commit via a manifest-of-segments
@@ -119,23 +172,48 @@ def promote_compacted(out_dir: str, compacted_dir: str) -> str:
     segment is discovered only through its committed manifest).
     """
     import shutil
+    import tempfile
     import time as _time
+    import uuid
 
-    segs = list_segments(out_dir)
     if not os.path.exists(os.path.join(compacted_dir, "manifest.parquet")):
         raise FileNotFoundError(
             f"compacted table at {compacted_dir} has no committed manifest")
-    aside = os.path.join(out_dir, ".pre_compact",
-                         _time.strftime("%Y%m%dT%H%M%S"))
-    os.makedirs(aside, exist_ok=True)
-    for s in segs:
-        shutil.move(s, os.path.join(aside, os.path.basename(s)))
-    dst = os.path.join(out_dir, "segment=0")
+    if segments is None:
+        snap = os.path.join(compacted_dir, _SNAPSHOT_FILE)
+        if not os.path.exists(snap):
+            raise FileNotFoundError(
+                f"{compacted_dir} has no {_SNAPSHOT_FILE} snapshot — compact "
+                f"with compact_segments, or pass segments= explicitly")
+        with open(snap) as f:
+            segments = json.load(f)["source_segments"]
+    missing = [b for b in segments
+               if not os.path.isdir(os.path.join(out_dir, b))]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot segments missing from {out_dir}: {missing} — "
+            f"already promoted, or the segment store changed underneath")
+    aside_root = os.path.join(out_dir, ".pre_compact")
+    os.makedirs(aside_root, exist_ok=True)
+    # mkdtemp: unique even for two promotes within the same second
+    aside = tempfile.mkdtemp(
+        prefix=_time.strftime("%Y%m%dT%H%M%S") + "-", dir=aside_root)
+    dst = os.path.join(out_dir, f"segment=compacted-{uuid.uuid4().hex[:12]}")
+    # land the NEW segment first, then retire the old ones: a reader that
+    # races the swap sees duplicated rows (repairable), never missing ones
     shutil.move(compacted_dir, dst)
+    for b in segments:
+        shutil.move(os.path.join(out_dir, b), os.path.join(aside, b))
     return dst
 
 
 def segments_manifest(spark, out_dir: str):
+    """Union of every segment's manifest with a ``segment`` name column.
+
+    Plan depth is O(#segments) here (one read per segment manifest dir) —
+    acceptable because manifests are tiny and this is an audit surface;
+    the DATA path (``decode_segments``) is the flat single-scan one.
+    """
     from functools import reduce
 
     from ..operators.decode import read_manifest
@@ -143,6 +221,9 @@ def segments_manifest(spark, out_dir: str):
 
     parts = []
     for s in list_segments(out_dir):
-        seg_id = int(os.path.basename(s).split("=", 1)[1])
-        parts.append(read_manifest(spark, s).withColumn("segment", F.lit(seg_id)))
+        seg_name = os.path.basename(s).split("=", 1)[1]
+        parts.append(read_manifest(spark, s)
+                     .withColumn("segment", F.lit(seg_name)))
+    if not parts:
+        raise FileNotFoundError(f"no committed segments under {out_dir}")
     return reduce(lambda a, b: a.unionByName(b), parts)

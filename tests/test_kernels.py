@@ -216,6 +216,25 @@ def test_tok_dict_space_structure_roundtrip():
     assert np.asarray(d2).tobytes() == data.tobytes()
 
 
+def test_tok_dict_zero_tokens_per_row_raises():
+    # every row encodes >=1 token (its appended separator); a corrupt blob
+    # claiming 0 tokens for a row used to wrap the row-end index to -1 and
+    # garble rows silently instead of raising like other malformed fields
+    from mapbox_vector_tile_java_spark.codecs.base import put_uvarint
+    from mapbox_vector_tile_java_spark.codecs.bytescodecs import encode_int_sub
+
+    parts = [b"\x01"]
+    put_uvarint(parts, 3)  # n_tokens
+    parts.append(encode_int_sub(np.array([0, 3], dtype=np.int64)))  # corrupt
+    put_uvarint(parts, 3)  # nuniq
+    parts.append(encode_int_sub(np.array([2, 2, 2], dtype=np.int64)))
+    parts.append(b"\x00")
+    parts.append(b"abcdef")
+    parts.append(encode_int_sub(np.array([0, 1, 2], dtype=np.int64)))
+    with pytest.raises(ValueError, match="tokens_per_row"):
+        by_name("tok_dict").decode(base.ByteReader(b"".join(parts)), 2, {})
+
+
 def test_dict_global_out_of_dict_values_escape():
     # values absent from the (sampled) global dictionary round-trip via the
     # inline escape path instead of failing — at cluster scale the dict
