@@ -570,6 +570,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("html").alias("html_len"), "text", "lang")
     q["compaction_roundtrip"] = _compaction
 
+    # -- multi-segment zone-pruned decode: two time-split segments, ONE
+    # flat scan (plan depth O(1) in segment count), zone maps prune the
+    # late segment's blocks before any decode work; the exact row predicate
+    # then makes the result oracle-comparable (pruning is block-level)
+    def _segments_pruned(s, d):
+        from mapbox_vector_tile_java_spark.operators.decode import (
+            decode_table_multi)
+        from mapbox_vector_tile_java_spark.streaming.incremental import (
+            list_segments)
+
+        root = tempfile.mkdtemp(prefix="mvt_segzone_")
+        src = webtext_df(s, 2_000, seed=42, partitions=4)
+        us = F.unix_micros("warc_ts")
+        # generator ts = 1.6e15 + id*737 + jitter(<500): cut at id ~1000
+        cut = 1_600_000_000_000_000 + 737 * 1000
+        encode_webtext(src.where(us <= cut),
+                       os.path.join(root, "segment=0"), n_parts=2)
+        encode_webtext(src.where(us > cut),
+                       os.path.join(root, "segment=1"), n_parts=2)
+        dec = decode_table_multi(s, list_segments(root),
+                                 zone_filters=[("warc_ts", 0, cut)])
+        return (dec.where(F.unix_micros("warc_ts") <= cut)
+                .select("url", F.unix_micros("warc_ts").alias("warc_ts_us"),
+                        F.length("html").alias("html_len"), "text", "lang"))
+    q["segments_pruned_decode"] = _segments_pruned
+
     # -- metadata-only aggregates: count/nulls/min/max per column answered
     # from the manifest alone (aggregate pushdown — zero data blocks read)
     def _meta_stats(s, d):
@@ -668,6 +694,11 @@ def oracle_sql() -> dict[str, str]:
     # compaction: content in == content out, segment structure is free
     o["compaction_roundtrip"] = (
         f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet')")
+    # zone-pruned multi-segment decode: block pruning must never change the
+    # answer, so the oracle is the plain predicate over the same fixture
+    o["segments_pruned_decode"] = (
+        f"SELECT {wt_cols} FROM read_parquet('{FIXTURE_DIR}/stream2000.parquet') "
+        f"WHERE epoch_us(warc_ts) <= {1_600_000_000_000_000 + 737 * 1000}")
     # metadata-only aggregates: DuckDB recomputes the same per-column stats
     # from the raw fixture (timestamps in microsecond ticks, bytes-like
     # columns have no zone map)

