@@ -197,6 +197,13 @@ def decode_table_multi(spark, seg_dirs: list[str],
 
     All segments must share one logical schema (they are micro-batches of
     the same stream); a mismatch raises rather than miscasts.
+
+    Reference lineage: the reference decodes MANY layers from ONE tile
+    buffer in a single pass, resolving each layer's own key/value tables
+    as it goes (MvtReader.java:149-158 iterates mvt.getLayersList() with
+    per-layer dictionaries) — segments are the cluster-scale layers here,
+    and the per-segment symbol-table namespace plays the per-layer
+    dictionary.
     """
     import glob as _glob
 

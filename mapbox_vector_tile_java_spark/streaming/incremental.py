@@ -166,6 +166,15 @@ def promote_compacted(out_dir: str, compacted_dir: str,
     checkpoint (which replays batch 0 into ``segment=0``) can never collide
     with — and silently resume-skip into — the compacted table.
 
+    Checkpoint discipline after a promote: RETAIN the stream's checkpoint.
+    A stream resumed with its checkpoint knows its batches are committed
+    and replays nothing. A stream restarted with a FRESH checkpoint
+    replays the source from scratch into fresh numeric segments — the
+    compacted segment's separate namespace guarantees that replay can only
+    DUPLICATE rows (repairable via dedup / a fresh compaction), never
+    silently drop them the way replaying into a resume-markered
+    ``segment=0`` compacted table would have.
+
     NOTE on real object stores: directory rename is not atomic on S3-style
     stores; production there would commit via a manifest-of-segments
     pointer swap instead. The segment layout already supports that (a

@@ -85,6 +85,61 @@ def test_streaming_replay_is_idempotent(spark, stream_dirs):
     verify_roundtrip(full, decode_segments(spark, out_dir))
 
 
+def test_stream_restart_after_compaction_never_loses_rows(spark, stream_dirs,
+                                                          tmp_path):
+    """The ADVICE r04 scenario end-to-end: ingest -> compact -> promote ->
+    restart the stream. With the RETAINED checkpoint nothing replays (row
+    set unchanged); with a FRESH checkpoint the source replays into fresh
+    numeric segments — rows may duplicate (at-least-once, repairable) but
+    are NEVER lost, because the compacted segment lives outside the
+    batch-id namespace so no replayed batch can resume-skip into it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from mapbox_vector_tile_java_spark.streaming.incremental import (
+        compact_segments, promote_compacted)
+
+    src_dir, out_dir, ckpt = stream_dirs
+    schema = from_arrow_schema(SCHEMA)
+
+    def run_stream(cp):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = encode_stream(stream, out_dir, n_parts=2, checkpoint_dir=cp)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def url_counts():
+        rows = (decode_segments(spark, out_dir)
+                .groupBy("url").count().collect())
+        return {r["url"]: r["count"] for r in rows}
+
+    run_stream(ckpt)
+    base = url_counts()
+    assert len(base) == 3000 and set(base.values()) == {1}
+
+    compacted = str(tmp_path / "compacted")
+    compact_segments(spark, out_dir, compacted, n_parts=2)
+    promote_compacted(out_dir, compacted)
+    assert url_counts() == base
+
+    # retained checkpoint: the engine knows both batches committed -> no
+    # replay, no new segments, row set identical
+    run_stream(ckpt)
+    assert url_counts() == base
+    assert len(list_segments(out_dir)) == 1
+
+    # fresh checkpoint: full replay lands in fresh numeric segments next
+    # to the compacted one — every row now seen exactly twice, none lost
+    run_stream(ckpt + "_fresh")
+    dup = url_counts()
+    assert set(dup) == set(base)
+    assert set(dup.values()) == {2}
+    assert len(list_segments(out_dir)) == 3  # compacted + 2 replayed
+
+
 def test_windowed_ingest_stats_with_watermark(spark, stream_dirs, tmp_path):
     """Event-time windowed aggregation over the ingest stream; results must
     equal the same aggregation computed in batch over the full table."""
