@@ -57,12 +57,22 @@ def encode_int_sub(a: np.ndarray, params: dict | None = None) -> bytes:
     if a.min() == a.max():
         return bytes([CONST_INT.codec_id]) + CONST_INT.encode(a, params)
     cands = [
-        (rle_size(a), RLE_INT),
         (for_size(a), FOR_BITPACK),
         (delta_size(a), FOR_DELTA),
         (varint_int_size(a), VARINT_INT),
         (raw_int_size(n), RAW_INT),
     ]
+    # RLE exact-size probe is the most expensive one (two varint-length
+    # passes over per-run arrays — on run-free streams that is 2 full
+    # passes for a codec that cannot win). Gate it behind its exact lower
+    # bound (count varint >=1 byte, every run >=1 length byte + >=1 value
+    # byte): when that bound already exceeds a computed candidate, RLE can
+    # never be the argmin whether we record the bound or the true size, so
+    # the choice — and therefore the wire — is unchanged.
+    best_cheap = min(c[0] for c in cands)
+    n_runs = int((a[1:] != a[:-1]).sum()) + 1
+    rle_lb = 1 + 2 * n_runs
+    cands.append(((rle_lb if rle_lb > best_cheap else rle_size(a)), RLE_INT))
     prep = None
     if n >= 1024:
         # entropy coding pays only on long skewed streams; the model build
@@ -322,7 +332,19 @@ def _tokd_encode(inp: tuple[np.ndarray, np.ndarray], params: dict) -> bytes:
         sd = np.flatnonzero(mask)
         if len(sd):
             row_of = np.searchsorted(cum, sd, side="right")
-            sp = np.sort(np.concatenate([sd + row_of, sep_pos]))
+            # merge, don't sort: in-row positions (sd + row_of) are already
+            # sorted (sd ascending, row_of nondecreasing) and so are the
+            # appended separators; the two sets are disjoint by
+            # construction, so a stable two-list merge (searchsorted +
+            # scatter) replaces the former O(n log n) full sort — one of
+            # the two big passes over the position array
+            inrow = sd + row_of
+            sp = np.empty(len(inrow) + n, dtype=np.int64)
+            at = np.searchsorted(inrow, sep_pos) + np.arange(n)
+            keep = np.ones(len(sp), dtype=bool)
+            keep[at] = False
+            sp[at] = sep_pos
+            sp[keep] = inrow
         else:
             sp = sep_pos
         values = data[~mask]

@@ -48,6 +48,9 @@ from .primitives import (
 MAX_CODE_LEN = 12
 MAX_SYMS = 2048          # top values that receive codes (incl. escape)
 LANES = 2048
+# bit-offset arithmetic drops to int32 when every offset fits (any
+# Arrow-batch-sized block); tests force the int64 path by patching this
+_INT32_BIT_LIMIT = 1 << 31
 
 
 def build_lengths(freqs: np.ndarray, max_len: int = MAX_CODE_LEN) -> np.ndarray:
@@ -191,18 +194,28 @@ def encode(values: np.ndarray, prep=None) -> bytes:
     if n_esc:
         parts.append(varint_encode(zigzag_encode(v[syms == esc_sym])))
 
-    lens_i = lengths[syms]
-    codes_i = codes[syms]
     lanes = min(LANES, n)
     steps = -(-n // lanes)
-    grid = np.zeros((steps, lanes), dtype=np.int64)
+    # int32 fast path: grid/cumsum/offset arithmetic in 4-byte lanes when
+    # every bit offset fits (payload bits + per-lane padding < 2^31 — true
+    # for any Arrow-batch-sized block; the int64 path remains for larger
+    # streams). Same values, same emitted bytes, half the memory traffic of
+    # the former all-int64 pipeline — this stage is bandwidth-bound.
+    payload_bits_ub = int(lengths.max()) * n + 8 * lanes
+    dt = np.int32 if payload_bits_ub < _INT32_BIT_LIMIT else np.int64
+    lens_i = lengths.astype(dt)[syms]
+    codes_i = codes.astype(dt)[syms]
+    grid = np.zeros((steps, lanes), dtype=dt)
     grid.ravel()[:n] = lens_i            # index i = step*lanes + lane
-    ofs_grid = np.cumsum(grid, axis=0) - grid
-    lane_bits = ofs_grid[-1] + grid[-1]
+    ofs_grid = np.cumsum(grid, axis=0, dtype=dt)
+    ofs_grid -= grid
+    lane_bits = (ofs_grid[-1] + grid[-1]).astype(np.int64)
     lane_bytes = (lane_bits + 7) // 8
     lane_start_bits = (np.cumsum(lane_bytes) - lane_bytes) * 8
-    lane_of = np.arange(n, dtype=np.int64) % lanes
-    gbp = lane_start_bits[lane_of] + ofs_grid.ravel()[:n]
+    # fold the per-lane start offset in by broadcast (replaces the former
+    # 8-byte lane_of modulo + gather over every value)
+    ofs_grid += lane_start_bits.astype(dt)[None, :]
+    gbp = ofs_grid.ravel()[:n]
     # pack via 3-byte windows: a <=12-bit code at bit offset sh (<8) fits in
     # bytes [gbp>>3, gbp>>3 + 2]; bits past the code are zero, so OR-ing a
     # window never corrupts a neighbor. Values within one step live in
@@ -211,7 +224,7 @@ def encode(values: np.ndarray, prep=None) -> bytes:
     out_b = np.zeros(int(lane_bytes.sum()) + 2, dtype=np.uint8)  # +2 spill pad
     gbyte = gbp >> 3
     sh = gbp & 7
-    w24 = codes_i << (24 - sh - lens_i)
+    w24 = codes_i << (dt(24) - sh - lens_i)
     b0 = (w24 >> 16).astype(np.uint8)
     b1 = ((w24 >> 8) & 0xFF).astype(np.uint8)
     b2 = (w24 & 0xFF).astype(np.uint8)

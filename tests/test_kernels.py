@@ -216,6 +216,56 @@ def test_tok_dict_space_structure_roundtrip():
     assert np.asarray(d2).tobytes() == data.tobytes()
 
 
+def test_huffman_int32_and_int64_paths_byte_identical(monkeypatch):
+    # the emit stage picks int32 bit-offset arithmetic when offsets fit;
+    # both paths must produce the SAME wire bytes (the int64 path is the
+    # >2^31-bit fallback, unreachable at Arrow batch sizes, so force it)
+    from mapbox_vector_tile_java_spark.codecs import huffman
+
+    rng = np.random.default_rng(7)
+    v = rng.zipf(1.3, size=50_000).astype(np.int64)
+    fast = huffman.encode(v)
+    monkeypatch.setattr(huffman, "_INT32_BIT_LIMIT", 0)
+    slow = huffman.encode(v)
+    assert fast == slow
+    r = base.ByteReader(slow)
+    np.testing.assert_array_equal(huffman.decode(r, len(v)), v)
+
+
+def test_rle_size_gate_never_changes_the_choice():
+    # encode_int_sub gates the expensive exact RLE probe behind its lower
+    # bound; the CHOSEN codec (first blob byte) must match a gate-free
+    # reference selection on streams across the run-length spectrum
+    from mapbox_vector_tile_java_spark.codecs.bytescodecs import encode_int_sub
+    from mapbox_vector_tile_java_spark.codecs.intcodecs import rle_size
+
+    rng = np.random.default_rng(11)
+    streams = [
+        np.repeat(rng.integers(0, 50, 30), rng.integers(1, 2000, 30)),  # runs
+        rng.integers(0, 100_000, 5000),                                  # none
+        rng.zipf(1.2, 5000),                                             # skewed
+        np.sort(rng.integers(0, 10, 5000)),                              # few runs
+        np.arange(5000) // 7,                                            # short runs
+    ]
+    for a in streams:
+        a = a.astype(np.int64)
+        blob = encode_int_sub(a)
+        # reference: recompute all exact sizes without the gate
+        from mapbox_vector_tile_java_spark.codecs.intcodecs import (
+            delta_size, for_size, raw_int_size, varint_int_size)
+        from mapbox_vector_tile_java_spark.codecs import huffman
+        from mapbox_vector_tile_java_spark.codecs.bytescodecs import (
+            FOR_BITPACK, FOR_DELTA, HUFF_INT, RAW_INT, RLE_INT, VARINT_INT)
+
+        cands = [(rle_size(a), RLE_INT), (for_size(a), FOR_BITPACK),
+                 (delta_size(a), FOR_DELTA), (varint_int_size(a), VARINT_INT),
+                 (raw_int_size(len(a)), RAW_INT)]
+        if len(a) >= 1024:
+            cands.append((huffman.encoded_size(a), HUFF_INT))
+        cands.sort(key=lambda c: (c[0], c[1].codec_id))
+        assert blob[0] == cands[0][1].codec_id, a[:8]
+
+
 def test_tok_dict_zero_tokens_per_row_raises():
     # every row encodes >=1 token (its appended separator); a corrupt blob
     # claiming 0 tokens for a row used to wrap the row-end index to -1 and
