@@ -218,15 +218,15 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
 
     if _is_intlike(t):
         vals = _to_int64(nn)
-        crc = zlib.crc32(np.ascontiguousarray(vals).tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(vals), crc)
         name = choose_int_codec(vals) if codec == "auto" else codec
         spec = by_name(name)
         parts.append(bytes([spec.codec_id]))
         parts.append(spec.encode(vals, params))
     elif _is_byteslike(t):
         lens, data = _bytes_parts(nn)
-        crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
-        crc = zlib.crc32(data.tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(lens), crc)
+        crc = zlib.crc32(np.ascontiguousarray(data), crc)
         chosen = None
         if codec == "auto":
             name, auto_params = choose_bytes_codec(lens, data, nn)
@@ -251,7 +251,7 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
         obuf = np.frombuffer(nn.buffers()[1], dtype=np.int64 if large else np.int32)
         o = obuf[nn.offset : nn.offset + len(nn) + 1].astype(np.int64)
         lens = np.diff(o)
-        crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(lens), crc)
         child_blob, child_meta = encode_column(flat, codec, params)
         crc = zlib.crc32(child_meta["content_crc"].to_bytes(8, "little"), crc)
         parts.append(encode_int_sub(lens))
@@ -269,8 +269,8 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str = "auto",
         name = f"struct({','.join(sub)})"
     elif pa.types.is_decimal128(t):
         lo, hi = _decimal_planes(nn)
-        crc = zlib.crc32(lo.tobytes(), crc)
-        crc = zlib.crc32(hi.tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(lo), crc)
+        crc = zlib.crc32(np.ascontiguousarray(hi), crc)
         parts.append(encode_int_sub(lo))
         parts.append(encode_int_sub(hi))
         name = "decimal128"
@@ -312,26 +312,26 @@ def content_crc(arr: pa.Array | pa.ChunkedArray) -> int:
     if arr.null_count == n or n == 0:
         return crc & 0xFFFFFFFFFFFFFFFF
     if _is_intlike(t):
-        crc = zlib.crc32(np.ascontiguousarray(_to_int64(nn)).tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(_to_int64(nn)), crc)
     elif _is_byteslike(t):
         lens, data = _bytes_parts(nn)
-        crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
-        crc = zlib.crc32(data.tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(lens), crc)
+        crc = zlib.crc32(np.ascontiguousarray(data), crc)
     elif _is_listlike(t):
         flat = nn.flatten()
         large = pa.types.is_large_list(t)
         obuf = np.frombuffer(nn.buffers()[1], dtype=np.int64 if large else np.int32)
         o = obuf[nn.offset : nn.offset + len(nn) + 1].astype(np.int64)
         lens = np.diff(o)
-        crc = zlib.crc32(np.ascontiguousarray(lens).tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(lens), crc)
         crc = zlib.crc32(content_crc(flat).to_bytes(8, "little"), crc)
     elif pa.types.is_struct(t):
         for i in range(t.num_fields):
             crc = zlib.crc32(content_crc(nn.field(i)).to_bytes(8, "little"), crc)
     elif pa.types.is_decimal128(t):
         lo, hi = _decimal_planes(nn)
-        crc = zlib.crc32(lo.tobytes(), crc)
-        crc = zlib.crc32(hi.tobytes(), crc)
+        crc = zlib.crc32(np.ascontiguousarray(lo), crc)
+        crc = zlib.crc32(np.ascontiguousarray(hi), crc)
     else:
         raise TypeError(f"unsupported column type: {t}")
     return crc & 0xFFFFFFFFFFFFFFFF
