@@ -55,6 +55,21 @@ def _ivf_dir(sf_dir: str) -> str:
     return _IVF_CACHE[sf_dir]
 
 
+_GRAM_CACHE: dict[str, str] = {}
+
+
+def _gram_dir(sf_dir: str) -> str:
+    """Shared gram-record dir for the verified dedup routes: both
+    ngram_jaccard_lsh and ngram_jaccard_winnow verify against the SAME
+    per-doc gram records over documents.text (k=3), so whichever runs
+    first materializes the stage and the other reuses it (the
+    ``build_gram_records`` marker protocol). Same write-once/read-many
+    discipline as the IVF index dir above."""
+    if sf_dir not in _GRAM_CACHE:
+        _GRAM_CACHE[sf_dir] = tempfile.mkdtemp(prefix="mvt_gramshare_")
+    return _GRAM_CACHE[sf_dir]
+
+
 def _write_oracle_fixtures() -> None:
     import numpy as np
     import pyarrow as pa
@@ -445,7 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: D.minhash_lsh_pairs(
         _read(s, d, "documents"), "text", "doc_id")
     q["dedup_ngram_lsh_verified"] = lambda s, d: D.ngram_jaccard_lsh(
-        _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
+        _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5,
+        gram_dir=_gram_dir(d))
     q["dedup_simhash"] = lambda s, d: D.simhash_pairs(
         _read(s, d, "documents"), "text", "doc_id")
     # winnowing-based candidates: the third near-dup route (substring
@@ -453,7 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_winnow_candidates"] = lambda s, d: D.winnow_candidate_pairs(
         _read(s, d, "documents"), "text", "doc_id")
     q["dedup_ngram_winnow_verified"] = lambda s, d: D.ngram_jaccard_winnow(
-        _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5)
+        _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5,
+        gram_dir=_gram_dir(d))
     # cluster collapse: components of the minhash-LSH pair graph, canonical
     # member = min doc id (the doc a dedup pipeline keeps per cluster)
     q["dedup_components"] = lambda s, d: D.dedup_components(

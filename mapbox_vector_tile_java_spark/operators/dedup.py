@@ -20,6 +20,8 @@ rows during encode; dedup is an explicit operator).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -385,7 +387,8 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
                       shingle_k: int = 5, seed: int = 42,
                       block_rows: int = 512,
                       hash_bands: bool = True,
-                      work_dir: str | None = None) -> DataFrame:
+                      work_dir: str | None = None,
+                      gram_dir: str | None = None) -> DataFrame:
     """Scale-path near-dup detection: minhash-LSH candidate pairs, then
     EXACT char-k-gram jaccard computed only on the candidates.
 
@@ -412,12 +415,46 @@ def ngram_jaccard_lsh(df: DataFrame, text_col: str, id_col: str,
                               shingle_k, seed, hash_bands=hash_bands,
                               work_dir=work_dir)
     return exact_jaccard_verify(df, cands, text_col, id_col, k=k,
-                                threshold=threshold, block_rows=block_rows)
+                                threshold=threshold, block_rows=block_rows,
+                                gram_dir=gram_dir)
+
+
+def build_gram_records(df: DataFrame, text_col: str, id_col: str, k: int,
+                       gram_dir: str) -> DataFrame:
+    """Materialize (or reuse) the per-doc gram-record stage at ``gram_dir``.
+
+    The gram records are a deterministic function of (corpus, text_col, k)
+    and every verified dedup route ships the SAME records through
+    ``exact_jaccard_verify`` — so when several routes run over one corpus
+    (minhash-verified, winnow-verified, a cleaning pipeline), the stage is
+    built ONCE and reused, exactly like the write-once IVF index. A
+    ``_GRAMS_OK`` marker (ignored by the parquet reader: leading
+    underscore) records the parameters; a parameter mismatch rebuilds and
+    overwrites. Callers own ``gram_dir``'s lifecycle; reuse across process
+    restarts is safe as long as the source table is unchanged (the same
+    contract as the IVF index dir and the encode resume markers)."""
+    import json as _json
+
+    spark = df.sparkSession
+    marker = os.path.join(gram_dir, "_GRAMS_OK")
+    want = {"k": int(k), "text_col": text_col, "id_col": id_col}
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if _json.load(fh) == want:
+                return spark.read.parquet(gram_dir)
+    _gram_record_df(df, text_col, id_col, k).write.mode(
+        "overwrite").parquet(gram_dir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(want, fh)
+    os.replace(tmp, marker)
+    return spark.read.parquet(gram_dir)
 
 
 def exact_jaccard_verify(df: DataFrame, cands: DataFrame, text_col: str,
                          id_col: str, k: int = 3, threshold: float = 0.5,
-                         block_rows: int = 512) -> DataFrame:
+                         block_rows: int = 512,
+                         gram_dir: str | None = None) -> DataFrame:
     """Exact char-k-gram jaccard over a candidate-pair DataFrame
     (id_a, id_b) — the verify stage every sub-quadratic dedup route
     composes with (minhash-LSH: ngram_jaccard_lsh; winnowing:
@@ -441,8 +478,11 @@ def exact_jaccard_verify(df: DataFrame, cands: DataFrame, text_col: str,
 
     width = 4 * k
     spark = df.sparkSession
-    fp = _materialize_fp(_gram_record_df(df, text_col, id_col, k),
-                         spark, "mvt_gramrec_")
+    if gram_dir is not None:
+        fp = build_gram_records(df, text_col, id_col, k, gram_dir)
+    else:
+        fp = _materialize_fp(_gram_record_df(df, text_col, id_col, k),
+                             spark, "mvt_gramrec_")
     n = fp.count()  # parquet metadata count on the materialized stage
     n_blocks = max(1, -(-n // block_rows))
     blk = lambda c: F.pmod(F.xxhash64(c), F.lit(n_blocks)).cast("int")
@@ -623,7 +663,8 @@ def ngram_jaccard_winnow(df: DataFrame, text_col: str, id_col: str,
                          k: int = 3, threshold: float = 0.5,
                          fp_k: int = 8, window: int = 4,
                          min_shared: int = 2, max_df: int = 64,
-                         block_rows: int = 512) -> DataFrame:
+                         block_rows: int = 512,
+                         gram_dir: str | None = None) -> DataFrame:
     """Winnowing-candidate near-dup route: winnow_candidate_pairs ->
     exact_jaccard_verify. Same output contract as ngram_jaccard_lsh
     (id_a, id_b, true jaccard >= threshold), different recall envelope:
@@ -633,7 +674,8 @@ def ngram_jaccard_winnow(df: DataFrame, text_col: str, id_col: str,
     cands = winnow_candidate_pairs(df, text_col, id_col, fp_k, window,
                                    min_shared, max_df).select("id_a", "id_b")
     return exact_jaccard_verify(df, cands, text_col, id_col, k=k,
-                                threshold=threshold, block_rows=block_rows)
+                                threshold=threshold, block_rows=block_rows,
+                                gram_dir=gram_dir)
 
 
 # ---------------------------------------------------------------------------
