@@ -117,6 +117,53 @@ def test_multi_segment_zone_filter_prunes_and_preserves(spark, tmp_path):
         spark, segs, zone_filters=[("warc_ts", 0, 10)]).count() == 0
 
 
+def test_fifty_segments_one_scan_and_compaction(spark, tmp_path):
+    """A year of micro-batches must stay analyzable: 50 segments decode
+    through ONE parquet scan (plan depth does not grow with segment count),
+    and compacting all 50 yields exactly the union of their contents with
+    one full-size plan. Segments are directory copies of one encoded
+    micro-batch — the decoder must namespace symbol tables per segment, so
+    50 segments with identical symtab ids but distinct paths is also the
+    collision-hardest layout for the path-based resolution."""
+    import contextlib
+    import io
+    import shutil
+
+    root = str(tmp_path / "many")
+    src = webtext_df(spark, 300, seed=13, partitions=2)
+    seg0 = os.path.join(root, "segment=0")
+    encode_webtext(src, seg0, n_parts=1)
+    for k in range(1, 50):
+        shutil.copytree(seg0, os.path.join(root, f"segment={k}"))
+    assert len(list_segments(root)) == 50
+
+    dec = decode_segments(spark, root)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dec.explain("formatted")
+    txt = buf.getvalue()
+    # formatted explain names each node twice (tree + details): ONE scan
+    # node == 2 mentions; a plan-level union chain would show ~100
+    assert txt.count("Scan parquet") == 2, txt
+    assert "Union" not in txt, txt
+    per_url = dec.groupBy("url").count().collect()
+    assert len(per_url) == 300 and all(r["count"] == 50 for r in per_url)
+
+    dst = str(tmp_path / "compacted50")
+    compact_segments(spark, root, dst, n_parts=2)
+    out = decode_table(spark, dst)
+    per_url2 = out.groupBy("url").count().collect()
+    assert len(per_url2) == 300 and all(r["count"] == 50 for r in per_url2)
+    # content byte-identical to the 50-segment union (full row compare)
+    assert _rows(out) == _rows(decode_segments(spark, root))
+    # ONE global plan over n_parts partitions, not 50 micro-plans (blocks
+    # per partition additionally split per Arrow batch, which is sizing,
+    # not plan structure)
+    m = read_manifest(spark, dst)
+    assert m.select("part_id").distinct().count() <= 2
+    assert os.path.exists(os.path.join(dst, "meta.json"))
+
+
 def test_promote_swaps_segments(spark, segmented, tmp_path):
     root, src = segmented
     dst = str(tmp_path / "compacted3")
