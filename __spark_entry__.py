@@ -66,7 +66,14 @@ def _gram_dir(sf_dir: str) -> str:
     ``build_gram_records`` marker protocol). Same write-once/read-many
     discipline as the IVF index dir above."""
     if sf_dir not in _GRAM_CACHE:
-        _GRAM_CACHE[sf_dir] = tempfile.mkdtemp(prefix="mvt_gramshare_")
+        d = tempfile.mkdtemp(prefix="mvt_gramshare_")
+        # reaped by dedup's atexit backstop like its own temp stages
+        if not D._FP_TMP_DIRS:
+            import atexit
+
+            atexit.register(D.cleanup_temp_dirs)
+        D._FP_TMP_DIRS.append(d)
+        _GRAM_CACHE[sf_dir] = d
     return _GRAM_CACHE[sf_dir]
 
 

@@ -196,6 +196,7 @@ def main():
             else E._gram_dir(SF_DIR) + "_cold"
         build_gram_records(docs_df, "text", "doc_id", 3, d)
     timed("dedup_gram_stage_build", _gram_build, repeats=2)
+    shutil.rmtree(E._gram_dir(SF_DIR) + "_cold", ignore_errors=True)
     # pre-built inputs for the compaction / metadata-aggregate timings: the
     # named operation is the compaction (decode segments -> re-encode) or
     # the manifest aggregation — NOT the setup encode that creates the
