@@ -213,7 +213,78 @@ def promote_compacted(out_dir: str, compacted_dir: str,
     shutil.move(compacted_dir, dst)
     for b in segments:
         shutil.move(os.path.join(out_dir, b), os.path.join(aside, b))
+    # pair this aside dir with its compacted segment so verify_and_reap can
+    # fingerprint-compare the two before deleting anything
+    with open(os.path.join(aside, "promoted.json"), "w") as f:
+        json.dump({"compacted": os.path.basename(dst),
+                   "segments": segments}, f)
     return dst
+
+
+def content_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row_count, order-independent multiset fingerprint) of a DataFrame.
+
+    SUM over rows of xxhash64(all columns) — commutative, so it is
+    invariant under the repartitioning a compaction performs, yet
+    multiset-sensitive (a duplicated or dropped row shifts the sum).
+    decimal(38,0) accumulation: no overflow below ~10^19 rows. ONE partial
+    aggregate per partition + a single-row final combine — the cheapest
+    whole-content equality check that does not ship any data anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
+              .cast("decimal(38,0)")).alias("fp")).first()
+    return int(row["n"]), int(row["fp"] or 0)
+
+
+def verify_and_reap(spark, out_dir: str) -> list[str]:
+    """Verify-then-delete for promoted compactions: for every aside dir
+    under ``<out_dir>/.pre_compact``, decode its retired segments AND the
+    compacted segment that replaced them, compare order-independent
+    content fingerprints (``content_fingerprint``), and delete the aside
+    dir only on an exact match. Returns the reaped aside dirs.
+
+    Raises ``ValueError`` on any mismatch and leaves that aside dir in
+    place — the retired source segments are the recovery path, exactly the
+    discipline the encode commit markers follow (nothing is deleted until
+    the replacement is proven equal). An aside dir whose compacted segment
+    has since itself been compacted away is also left in place (there is
+    nothing to verify against; a later fingerprint chain through the
+    NEWER compaction's own aside dir still covers its content).
+    """
+    import shutil
+
+    from ..operators.decode import decode_table, decode_table_multi
+
+    aside_root = os.path.join(out_dir, ".pre_compact")
+    if not os.path.isdir(aside_root):
+        return []
+    reaped = []
+    for name in sorted(os.listdir(aside_root)):
+        aside = os.path.join(aside_root, name)
+        meta = os.path.join(aside, "promoted.json")
+        if not os.path.exists(meta):
+            continue  # pre-pairing aside dir: manual reap only
+        with open(meta) as f:
+            info = json.load(f)
+        comp = os.path.join(out_dir, info["compacted"])
+        if not os.path.exists(os.path.join(comp, "manifest.parquet")):
+            continue  # compacted away since; covered by a newer aside dir
+        srcs = [os.path.join(aside, b) for b in info["segments"]
+                if os.path.exists(os.path.join(aside, b, "manifest.parquet"))]
+        want = content_fingerprint(decode_table_multi(spark, srcs))
+        got = content_fingerprint(decode_table(spark, comp))
+        if want != got:
+            raise ValueError(
+                f"compacted segment {info['compacted']} does not match its "
+                f"retired sources in {aside}: sources (rows, fp)={want}, "
+                f"compacted={got} — aside dir kept for recovery")
+        shutil.rmtree(aside)
+        reaped.append(aside)
+    return reaped
 
 
 def segments_manifest(spark, out_dir: str):

@@ -232,6 +232,59 @@ def test_tiered_compaction_max_segments(spark, tmp_path):
     assert _rows(decode_segments(spark, root)) == _rows(src)
 
 
+def test_verify_and_reap_deletes_only_on_match(spark, tmp_path):
+    """verify_and_reap fingerprint-compares the compacted segment against
+    its retired sources and deletes the aside dir only on an exact match;
+    a mismatch raises and keeps the sources as the recovery path."""
+    import json
+
+    from mapbox_vector_tile_java_spark.streaming.incremental import (
+        content_fingerprint, verify_and_reap)
+
+    root = str(tmp_path / "tbl")
+    src = webtext_df(spark, 900, seed=21, partitions=2)
+    for k in range(3):
+        encode_webtext(src.where(F.pmod(F.xxhash64("url"), F.lit(3)) == k),
+                       os.path.join(root, f"segment={k}"), n_parts=2)
+    dst = str(tmp_path / "compacted")
+    compact_segments(spark, root, dst, n_parts=2)
+    promoted = promote_compacted(root, dst)
+    aside_root = os.path.join(root, ".pre_compact")
+    assert len(os.listdir(aside_root)) == 1
+    reaped = verify_and_reap(spark, root)
+    assert len(reaped) == 1 and not os.listdir(aside_root)
+    assert _rows(decode_segments(spark, root)) == _rows(src)
+
+    # second compaction: tamper the pairing so the claimed source set no
+    # longer matches the compacted content -> must raise and keep the dir
+    dst2 = str(tmp_path / "compacted2")
+    encode_webtext(webtext_df(spark, 90, seed=5, partitions=1),
+                   os.path.join(root, "segment=9"), n_parts=1)
+    compact_segments(spark, root, dst2, n_parts=2,
+                     max_segments=1)  # compacts only the oldest segment
+    promote_compacted(root, dst2)
+    aside = os.path.join(aside_root, os.listdir(aside_root)[0])
+    meta = os.path.join(aside, "promoted.json")
+    with open(meta) as f:
+        info = json.load(f)
+    # claim segment=9 was also retired: fingerprints can no longer match
+    import shutil
+    shutil.move(os.path.join(root, "segment=9"),
+                os.path.join(aside, "segment=9"))
+    info["segments"].append("segment=9")
+    with open(meta, "w") as f:
+        json.dump(info, f)
+    with pytest.raises(ValueError, match="does not match"):
+        verify_and_reap(spark, root)
+    assert os.path.isdir(aside)  # kept for recovery
+
+    # fingerprint function itself: order-independence + multiset sensitivity
+    a = webtext_df(spark, 200, seed=8, partitions=2)
+    assert content_fingerprint(a) == content_fingerprint(
+        a.repartition(7))
+    assert content_fingerprint(a) != content_fingerprint(a.limit(199))
+
+
 def test_promote_refuses_missing_snapshot_segment(spark, segmented, tmp_path):
     """Promote raises (rather than silently dropping data) when a snapshot
     segment vanished between compact and promote."""
