@@ -101,7 +101,8 @@ def decode_segments(spark, out_dir: str, columns: list[str] | None = None) -> Da
 
 def compact_segments(spark, out_dir: str, dst_dir: str, n_parts: int,
                      url_col: str = "url", resume: bool = True,
-                     max_segments: int | None = None):
+                     max_segments: int | None = None,
+                     segments: list[str] | None = None):
     """Merge committed segments into ONE compacted encoded table.
 
     A micro-batch-per-segment layout accumulates small segments (each with
@@ -137,7 +138,18 @@ def compact_segments(spark, out_dir: str, dst_dir: str, n_parts: int,
     segs = list_segments(out_dir)
     if not segs:
         raise FileNotFoundError(f"no committed segments under {out_dir}")
-    if max_segments is not None:
+    if segments is not None:
+        # explicit basenames (e.g. from compaction_due's size tier) — any
+        # subset is content-safe: the snapshot/promote pair retires exactly
+        # these, and decode order was never part of the table contract
+        want = set(segments)
+        segs = [s for s in segs if os.path.basename(s) in want]
+        missing = want - {os.path.basename(s) for s in segs}
+        if missing:
+            raise FileNotFoundError(
+                f"requested segments not committed under {out_dir}: "
+                f"{sorted(missing)}")
+    elif max_segments is not None:
         segs = segs[:max_segments]
     df = decode_table_multi(spark, segs)
     man = encode_webtext(df, dst_dir, n_parts=n_parts, url_col=url_col,
@@ -285,6 +297,47 @@ def verify_and_reap(spark, out_dir: str) -> list[str]:
         shutil.rmtree(aside)
         reaped.append(aside)
     return reaped
+
+
+def compaction_due(spark, out_dir: str, min_segments: int = 4,
+                   max_segments: int = 64) -> list[str]:
+    """Size-tiered compaction trigger: the segment basenames worth merging
+    this round, or ``[]`` when compaction is not warranted.
+
+    Policy (the STCS shape LSM stores use): bucket segments by the
+    power-of-two of their encoded byte total (``segments_manifest`` sums —
+    metadata only, no blob column is touched), find the most-populated
+    tier of similar-sized segments, and propose it (oldest first, capped
+    at ``max_segments``) once it holds at least ``min_segments`` members.
+    Merging like-sized segments keeps write amplification logarithmic:
+    each byte is rewritten O(log(table/segment)) times as its segment
+    climbs tiers, instead of O(n_compactions) under always-merge-all.
+
+    Run periodically next to the stream::
+
+        due = compaction_due(spark, out_dir)
+        if due:
+            compact_segments(spark, out_dir, dst, n_parts, segments=due)
+            promote_compacted(out_dir, dst)
+            verify_and_reap(spark, out_dir)
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    sizes = {r["segment"]: r["bytes"]
+             for r in segments_manifest(spark, out_dir)
+             .groupBy("segment")
+             .agg(F.sum("enc_bytes").alias("bytes")).collect()}
+    ordered = [os.path.basename(s) for s in list_segments(out_dir)]
+    tiers: dict[int, list[str]] = {}
+    for name in ordered:
+        b = sizes.get(name.split("=", 1)[1], 0)
+        tiers.setdefault(int(math.log2(max(b, 1))), []).append(name)
+    best = max(tiers.values(), key=len, default=[])
+    if len(best) < min_segments:
+        return []
+    return best[:max_segments]
 
 
 def segments_manifest(spark, out_dir: str):

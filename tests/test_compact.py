@@ -232,6 +232,36 @@ def test_tiered_compaction_max_segments(spark, tmp_path):
     assert _rows(decode_segments(spark, root)) == _rows(src)
 
 
+def test_size_tiered_compaction_policy(spark, tmp_path):
+    """compaction_due proposes the most-populated power-of-two size tier
+    (oldest first) once it reaches min_segments, and the proposed subset
+    round-trips through compact -> promote -> verify_and_reap."""
+    from mapbox_vector_tile_java_spark.streaming.incremental import (
+        compaction_due, verify_and_reap)
+
+    root = str(tmp_path / "tbl")
+    src = webtext_df(spark, 2200, seed=31, partitions=4)
+    big = src.where(F.pmod(F.xxhash64("url"), F.lit(11)) < 7)    # ~1400 rows
+    rest = src.where(F.pmod(F.xxhash64("url"), F.lit(11)) >= 7)  # ~800 rows
+    encode_webtext(big, os.path.join(root, "segment=0"), n_parts=2)
+    for k in range(4):  # four similar small segments: the due tier
+        encode_webtext(rest.where(F.pmod(F.xxhash64("url"), F.lit(4)) == k),
+                       os.path.join(root, f"segment={k + 1}"), n_parts=1)
+    due = compaction_due(spark, root, min_segments=4)
+    assert sorted(due) == [f"segment={k + 1}" for k in range(4)], due
+    # below the member threshold: not warranted
+    assert compaction_due(spark, root, min_segments=5) == []
+
+    dst = str(tmp_path / "ctier")
+    compact_segments(spark, root, dst, n_parts=2, segments=due)
+    promote_compacted(root, dst)
+    assert len(verify_and_reap(spark, root)) == 1
+    assert _rows(decode_segments(spark, root)) == _rows(src)
+    # the big segment was untouched
+    assert any(os.path.basename(s) == "segment=0"
+               for s in list_segments(root))
+
+
 def test_verify_and_reap_deletes_only_on_match(spark, tmp_path):
     """verify_and_reap fingerprint-compares the compacted segment against
     its retired sources and deletes the aside dir only on an exact match;
