@@ -489,7 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mapbox_vector_tile_java_spark.operators.pipeline import (
             corpus_clean)
 
-        return corpus_clean(_read(s, d, "documents"), "text", "doc_id")
+        return corpus_clean(_read(s, d, "documents"), "text", "doc_id",
+                            gram_dir=_gram_dir(d))
     q["pipeline_corpus_clean"] = _corpus_clean
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_neardup_pairs(
         _read(s, d, "embeddings"), "embedding", "vec_id", threshold=0.35)

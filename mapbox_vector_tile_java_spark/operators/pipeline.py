@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, functions as F
 def corpus_clean(df: DataFrame, text_col: str, id_col: str,
                  min_quality: float = 1.01,
                  jaccard_threshold: float = 0.5, k: int = 3,
-                 work_dir: str | None = None) -> DataFrame:
+                 work_dir: str | None = None,
+                 gram_dir: str | None = None) -> DataFrame:
     """Kept document ids after the full cleaning chain:
 
     1. quality gate: heuristic quality_score >= min_quality (drops
@@ -45,6 +46,14 @@ def corpus_clean(df: DataFrame, text_col: str, id_col: str,
     Verification bounds precision exactly: every dropped document is
     connected to its cluster by edges of true jaccard >= the threshold.
 
+    ``gram_dir``: optional shared gram-record dir (``build_gram_records``
+    protocol). Records built over the FULL corpus are reusable here even
+    though verification runs over the post-dedup survivors: a doc's gram
+    record depends only on its own text, the verify kernel probes blocks by
+    candidate id (absent ids are never touched), and every survivor id
+    carries the same text it had in the full corpus — so the computed
+    jaccards, and therefore the kept set, are identical.
+
     Returns a single-column (id) DataFrame of kept documents.
     """
     from .dedup import dedup_drop_set, exact_dedup, ngram_jaccard_lsh
@@ -57,7 +66,7 @@ def corpus_clean(df: DataFrame, text_col: str, id_col: str,
     survivors = exact_dedup(good, text_col, id_col)
     verified = ngram_jaccard_lsh(survivors, text_col, id_col, k=k,
                                  threshold=jaccard_threshold,
-                                 work_dir=work_dir)
+                                 work_dir=work_dir, gram_dir=gram_dir)
     drop = dedup_drop_set(verified).withColumnRenamed("id", id_col)
     return (survivors.join(drop.select(id_col), id_col, "left_anti")
                      .select(id_col))
