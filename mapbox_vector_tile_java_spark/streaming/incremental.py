@@ -340,6 +340,36 @@ def compaction_due(spark, out_dir: str, min_segments: int = 4,
     return best[:max_segments]
 
 
+def maintain_table(spark, out_dir: str, n_parts: int,
+                   min_segments: int = 4, max_segments: int = 64,
+                   url_col: str = "url") -> str | None:
+    """One table-maintenance round: size-tiered trigger → compact →
+    promote → fingerprint-verified reap. Returns the promoted segment
+    path, or ``None`` when compaction is not warranted yet.
+
+    This is the call a production ingest loop runs on a timer (or every K
+    micro-batches) next to a LIVE stream: the compaction works off a
+    snapshot, the promote retires exactly the snapshotted segments, and
+    sources are deleted only after the compacted segment fingerprint-
+    matches them — every step is individually crash-safe, so a killed
+    maintenance round leaves a readable table and resumes idempotently.
+    The staging dir lives INSIDE ``out_dir`` (same filesystem: the promote
+    rename is a move, not a copy) but outside the ``segment=`` namespace,
+    so readers never see a half-built segment.
+    """
+    import uuid
+
+    due = compaction_due(spark, out_dir, min_segments, max_segments)
+    if not due:
+        return None
+    staging = os.path.join(out_dir, ".compact_tmp", uuid.uuid4().hex[:12])
+    compact_segments(spark, out_dir, staging, n_parts, url_col=url_col,
+                     segments=due)
+    promoted = promote_compacted(out_dir, staging)
+    verify_and_reap(spark, out_dir)
+    return promoted
+
+
 def segments_manifest(spark, out_dir: str):
     """Every segment's manifest as one DataFrame with a ``segment`` name
     column — one flat scan over all manifest dirs (same O(1)-plan-depth

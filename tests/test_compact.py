@@ -262,6 +262,33 @@ def test_size_tiered_compaction_policy(spark, tmp_path):
                for s in list_segments(root))
 
 
+def test_maintain_table_full_round(spark, tmp_path):
+    """maintain_table: no-op below the tier threshold; above it, one call
+    compacts the due tier, promotes, verifies and reaps — with a segment
+    committed mid-round surviving untouched (live-stream safety)."""
+    from mapbox_vector_tile_java_spark.streaming.incremental import (
+        maintain_table)
+
+    root = str(tmp_path / "tbl")
+    src = webtext_df(spark, 1600, seed=17, partitions=4)
+    for k in range(3):
+        encode_webtext(src.where(F.pmod(F.xxhash64("url"), F.lit(4)) == k),
+                       os.path.join(root, f"segment={k}"), n_parts=1)
+    assert maintain_table(spark, root, n_parts=2, min_segments=4) is None
+    encode_webtext(src.where(F.pmod(F.xxhash64("url"), F.lit(4)) == 3),
+                   os.path.join(root, "segment=3"), n_parts=1)
+    promoted = maintain_table(spark, root, n_parts=2, min_segments=4)
+    assert promoted is not None
+    names = [os.path.basename(s) for s in list_segments(root)]
+    assert names == [os.path.basename(promoted)]
+    assert _rows(decode_segments(spark, root)) == _rows(src)
+    # aside dir reaped after the fingerprint match
+    aside_root = os.path.join(root, ".pre_compact")
+    assert not os.path.isdir(aside_root) or not os.listdir(aside_root)
+    # next round: single compacted segment, nothing due
+    assert maintain_table(spark, root, n_parts=2, min_segments=4) is None
+
+
 def test_verify_and_reap_deletes_only_on_match(spark, tmp_path):
     """verify_and_reap fingerprint-compares the compacted segment against
     its retired sources and deletes the aside dir only on an exact match;
