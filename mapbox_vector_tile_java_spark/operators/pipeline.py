@@ -25,7 +25,8 @@ def corpus_clean(df: DataFrame, text_col: str, id_col: str,
                  min_quality: float = 1.01,
                  jaccard_threshold: float = 0.5, k: int = 3,
                  work_dir: str | None = None,
-                 gram_dir: str | None = None) -> DataFrame:
+                 gram_dir: str | None = None,
+                 candidate_route: str = "minhash") -> DataFrame:
     """Kept document ids after the full cleaning chain:
 
     1. quality gate: heuristic quality_score >= min_quality (drops
@@ -54,9 +55,23 @@ def corpus_clean(df: DataFrame, text_col: str, id_col: str,
     carries the same text it had in the full corpus — so the computed
     jaccards, and therefore the kept set, are identical.
 
+    ``candidate_route`` picks the recall envelope (measured head-to-head
+    in docs/RECALL.md; precision is exact for all of them because every
+    candidate is jaccard-verified before becoming an edge):
+
+    - ``"minhash"`` (default): the conventional corpus-dedup operating
+      point — near-total recall for near-identical pages (j ≳ 0.8),
+      smooth decay below; cheapest shuffle.
+    - ``"winnow"``: substring-guaranteed recall (0.97 measured at
+      threshold 0.5) — catches template pages with body edits that
+      minhash lets through; more verify work.
+    - ``"both"``: union of both candidate sets, deduplicated before the
+      single shared verify pass — the highest-recall configuration.
+
     Returns a single-column (id) DataFrame of kept documents.
     """
-    from .dedup import dedup_drop_set, exact_dedup, ngram_jaccard_lsh
+    from .dedup import (dedup_drop_set, exact_dedup, exact_jaccard_verify,
+                        minhash_lsh_pairs, winnow_candidate_pairs)
     from .textstats import quality_score
 
     good_ids = (quality_score(df, text_col, id_col)
@@ -64,9 +79,25 @@ def corpus_clean(df: DataFrame, text_col: str, id_col: str,
                 .select(id_col))
     good = df.select(id_col, text_col).join(good_ids, id_col)
     survivors = exact_dedup(good, text_col, id_col)
-    verified = ngram_jaccard_lsh(survivors, text_col, id_col, k=k,
-                                 threshold=jaccard_threshold,
-                                 work_dir=work_dir, gram_dir=gram_dir)
+    if candidate_route == "minhash":
+        cands = minhash_lsh_pairs(survivors, text_col, id_col,
+                                  hash_bands=True, work_dir=work_dir)
+    elif candidate_route == "winnow":
+        cands = winnow_candidate_pairs(survivors, text_col, id_col)
+    elif candidate_route == "both":
+        cands = (minhash_lsh_pairs(survivors, text_col, id_col,
+                                   hash_bands=True, work_dir=work_dir)
+                 .select("id_a", "id_b")
+                 .unionByName(winnow_candidate_pairs(
+                     survivors, text_col, id_col).select("id_a", "id_b"))
+                 .distinct())
+    else:
+        raise ValueError(f"unknown candidate_route: {candidate_route!r} "
+                         f"(expected 'minhash', 'winnow' or 'both')")
+    verified = exact_jaccard_verify(survivors, cands.select("id_a", "id_b"),
+                                    text_col, id_col, k=k,
+                                    threshold=jaccard_threshold,
+                                    gram_dir=gram_dir)
     drop = dedup_drop_set(verified).withColumnRenamed("id", id_col)
     return (survivors.join(drop.select(id_col), id_col, "left_anti")
                      .select(id_col))

@@ -600,6 +600,39 @@ def test_corpus_clean_composition(spark):
     assert kept == {1, 5}
 
 
+def test_corpus_clean_candidate_routes(spark):
+    """candidate_route picks the recall envelope (docs/RECALL.md): on the
+    synthetic corpus the winnow route verifies true near-dup pairs the
+    minhash route misses, so it drops strictly more documents; 'both'
+    keeps at most what either single route keeps (edge sets are unions
+    and drop sets are monotone in edges); a bad route raises."""
+    import pytest as _pytest
+
+    from mapbox_vector_tile_java_spark.operators.pipeline import corpus_clean
+
+    # the driver documents table: dense template near-dups (docs/RECALL.md
+    # measures 38% of all pairs at true j>=0.5 on this family)
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text"))
+    kept = {route: {r["doc_id"] for r in
+                    corpus_clean(df, "text", "doc_id", min_quality=0.0,
+                                 candidate_route=route).collect()}
+            for route in ("minhash", "winnow", "both")}
+    # the recall difference is at the EDGE level (docs/RECALL.md): winnow
+    # verifies true pairs minhash misses on this corpus...
+    n_min = D.ngram_jaccard_lsh(df, "text", "doc_id", k=3,
+                                threshold=0.5).count()
+    n_win = D.ngram_jaccard_winnow(df, "text", "doc_id", k=3,
+                                   threshold=0.5).count()
+    assert n_win > n_min
+    # ...while kept sets are monotone in edges (extra edges can only merge
+    # components, never split them): 'both' keeps at most either route
+    assert kept["both"] <= kept["minhash"] and kept["both"] <= kept["winnow"]
+    assert kept["both"]  # and it does keep the canonical members
+    with _pytest.raises(ValueError, match="candidate_route"):
+        corpus_clean(df, "text", "doc_id", candidate_route="nope").collect()
+
+
 def _lsh_false_positive_text(base: str) -> str:
     """Deterministic text that band-collides with ``base`` under the
     default minhash params (64 perm / 16 bands, seed 42) yet has true
