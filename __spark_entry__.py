@@ -492,6 +492,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus_clean(_read(s, d, "documents"), "text", "doc_id",
                             gram_dir=_gram_dir(d))
     q["pipeline_corpus_clean"] = _corpus_clean
+
+    # same chain on the winnow candidate route (substring-guaranteed
+    # recall envelope, docs/RECALL.md) — whole chain recomposed in SQL
+    def _corpus_clean_winnow(s, d):
+        from mapbox_vector_tile_java_spark.operators.pipeline import (
+            corpus_clean)
+
+        return corpus_clean(_read(s, d, "documents"), "text", "doc_id",
+                            candidate_route="winnow",
+                            gram_dir=_gram_dir(d))
+    q["pipeline_corpus_clean_winnow"] = _corpus_clean_winnow
     q["dedup_embedding_cosine"] = lambda s, d: D.embedding_neardup_pairs(
         _read(s, d, "embeddings"), "embedding", "vec_id", threshold=0.35)
     q["dedup_embedding_srp"] = lambda s, d: D.embedding_srp_pairs(
@@ -1156,6 +1167,63 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
                     (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
               >= 0.5"""
+
+        # winnow-route cleaning chain: identical skeleton, candidates from the
+    # survivor-restricted winnow index (fingerprints, stop cap at
+    # max_df=64 and the >=2-shared filter are all computed over SURVIVORS,
+    # exactly as winnow_candidate_pairs(survivors) does)
+    o["pipeline_corpus_clean_winnow"] = f"""
+        WITH RECURSIVE
+        qual AS (
+          SELECT doc_id FROM documents
+          WHERE round(CASE WHEN length(text) > 0 THEN
+                  1.0
+                  - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+                  - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                  + least(len(list_intersect({toks}, {stop_en})), 5) * 0.02
+                ELSE 0.0 END, 6) >= 1.01),
+        ex AS (SELECT min(d.doc_id) AS id
+               FROM documents d JOIN qual USING (doc_id)
+               GROUP BY d.text),
+        h AS (
+          SELECT d.doc_id, {roll_hash} AS hs
+          FROM documents d JOIN ex ON ex.id = d.doc_id
+          WHERE text IS NOT NULL AND length(text) >= 8 AND {ascii_guard}),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_transform(range(1, len(hs) - 4 + 2),
+                                  i -> list_min(list_slice(hs, i, i + 3)))
+                 ELSE [list_min(hs)] END AS wins
+          FROM h),
+        fp AS (SELECT DISTINCT id, fp FROM
+               (SELECT doc_id AS id, unnest(wins) AS fp FROM w)),
+        stop AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 64),
+        fpf AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM stop)),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING count(*) >= 2),
+        gr AS (SELECT d.doc_id AS id, {grams3o} AS g
+               FROM documents d JOIN ex ON ex.id = d.doc_id
+               WHERE len({grams3o}) > 0),
+        prs AS (SELECT c.id_a, c.id_b
+                FROM cand c JOIN gr a ON a.id = c.id_a
+                            JOIN gr b ON b.id = c.id_b
+                WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                            (len(a.g) + len(b.g)
+                             - len(list_intersect(a.g, b.g))), 6) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        cc AS (SELECT id, id AS comp FROM nodes
+               UNION SELECT e.b AS id, c.comp
+                     FROM cc c JOIN edges e ON e.a = c.id),
+        drops AS (SELECT id FROM (SELECT id, min(comp) AS comp
+                                  FROM cc GROUP BY id) WHERE id != comp)
+        SELECT id AS doc_id FROM ex
+        WHERE id NOT IN (SELECT id FROM drops)"""
 
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 
