@@ -367,6 +367,10 @@ def maintain_table(spark, out_dir: str, n_parts: int,
                      segments=due)
     promoted = promote_compacted(out_dir, staging)
     verify_and_reap(spark, out_dir)
+    try:  # the promote moved the staging dir away; drop the empty parent
+        os.rmdir(os.path.dirname(staging))
+    except OSError:
+        pass  # a concurrent round's staging is still in it
     return promoted
 
 
