@@ -56,6 +56,15 @@ def _ivf_dir(sf_dir: str) -> str:
 
 
 _GRAM_CACHE: dict[str, str] = {}
+_MINHASH_IDX_CACHE: dict[str, str] = {}
+
+
+def _minhash_idx_dir(sf_dir: str) -> str:
+    """Write-once minhash signature index dir for the incremental-dedup
+    query (same per-sf_dir cache discipline as the IVF index)."""
+    if sf_dir not in _MINHASH_IDX_CACHE:
+        _MINHASH_IDX_CACHE[sf_dir] = tempfile.mkdtemp(prefix="mvt_mh_idx_")
+    return _MINHASH_IDX_CACHE[sf_dir]
 
 
 def _gram_dir(sf_dir: str) -> str:
@@ -478,6 +487,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_winnow_verified"] = lambda s, d: D.ngram_jaccard_winnow(
         _read(s, d, "documents"), "text", "doc_id", k=3, threshold=0.5,
         gram_dir=_gram_dir(d))
+    # incremental dedup: docs 0..399 play the indexed corpus (persisted
+    # signature index, built once per sf_dir), 400+ the new crawl batch;
+    # returns verified pairs with >=1 new endpoint
+    def _dedup_incremental(s, d):
+        corpus = _read(s, d, "documents").where(F.col("doc_id") < 400)
+        new = _read(s, d, "documents").where(F.col("doc_id") >= 400)
+        idx = _minhash_idx_dir(d)
+        if not os.path.exists(os.path.join(idx, D._MINHASH_IDX_MARKER)):
+            D.build_minhash_index(corpus, "text", "doc_id", idx)
+        return D.dedup_incremental(corpus, new, "text", "doc_id", idx,
+                                   gram_dir=_gram_dir(d))
+    q["dedup_incremental"] = _dedup_incremental
+
     # cluster collapse: components of the minhash-LSH pair graph, canonical
     # member = min doc id (the doc a dedup pipeline keeps per cluster)
     q["dedup_components"] = lambda s, d: D.dedup_components(
@@ -877,6 +899,32 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.id AS id_a, b.id AS id_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+          GROUP BY a.id, b.id),
+        gr AS (SELECT doc_id AS id, {grams3o} AS g FROM documents
+               WHERE len({grams3o}) > 0)
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(a.g, b.g)) * 1.0 /
+                     (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                 AS jaccard
+        FROM cand c JOIN gr a ON a.id = c.id_a JOIN gr b ON b.id = c.id_b
+        WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+              >= 0.5"""
+
+    # incremental dedup: same banded-candidates + exact-verify shape,
+    # restricted to pairs with a NEW endpoint (doc_id >= 400 plays the new
+    # crawl batch; 0..399 the indexed corpus). Signatures are per-doc, so
+    # the fixture table covers both sides identically.
+    o["dedup_incremental"] = f"""
+        WITH banded AS (
+          SELECT id, b AS band, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bh
+          FROM read_parquet('{FIXTURE_DIR}/minhash_sig.parquet'),
+               generate_series(0, 15) AS g(b)),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+          WHERE a.id >= 400 OR b.id >= 400
           GROUP BY a.id, b.id),
         gr AS (SELECT doc_id AS id, {grams3o} AS g FROM documents
                WHERE len({grams3o}) > 0)

@@ -217,6 +217,115 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
+_MINHASH_IDX_MARKER = "_MINHASH_OK"
+
+
+def _read_idx_marker(index_dir: str) -> dict:
+    import json as _json
+
+    with open(os.path.join(index_dir, _MINHASH_IDX_MARKER)) as fh:
+        return _json.load(fh)
+
+
+def build_minhash_index(df: DataFrame, text_col: str, id_col: str,
+                        index_dir: str, num_perm: int = 64,
+                        shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """Persist the corpus minhash signature table (id, sig) as a write-once
+    index — the artifact that makes dedup INCREMENTAL: a new crawl batch is
+    deduplicated against 10^12 existing documents by reading their
+    signatures (8*num_perm bytes/doc), never by re-running the minhash
+    kernel over the corpus text. A ``_MINHASH_OK`` marker pins the
+    parameters; ``dedup_incremental``/``minhash_index_append`` refuse an
+    index whose parameters do not match theirs (mixed-parameter signatures
+    are incomparable garbage, so this fails loudly).
+
+    Same discipline as the IVF index (similarity.py) and the gram-record
+    stage: build once, query many, caller owns the directory.
+    """
+    import json as _json
+
+    spark = df.sparkSession
+    minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
+                       seed).write.mode("overwrite").parquet(index_dir)
+    marker = os.path.join(index_dir, _MINHASH_IDX_MARKER)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"num_perm": num_perm, "shingle_k": shingle_k,
+                    "seed": seed}, fh)
+    os.replace(tmp, marker)
+    return spark.read.parquet(index_dir)
+
+
+def minhash_index_append(new_df: DataFrame, text_col: str, id_col: str,
+                         index_dir: str) -> None:
+    """Append a new batch's signatures to an existing index (call AFTER the
+    batch passed ``dedup_incremental`` and was admitted to the corpus).
+    Parameters come from the index marker, so appended signatures are
+    always comparable with the existing ones."""
+    p = _read_idx_marker(index_dir)
+    minhash_signatures(new_df, text_col, id_col, p["num_perm"],
+                       p["shingle_k"], p["seed"]).write.mode(
+                           "append").parquet(index_dir)
+
+
+def dedup_incremental(corpus_df: DataFrame, new_df: DataFrame,
+                      text_col: str, id_col: str, index_dir: str,
+                      bands: int = 16, threshold: float = 0.5, k: int = 3,
+                      block_rows: int = 512,
+                      gram_dir: str | None = None) -> DataFrame:
+    """True near-dup pairs (id_a, id_b, jaccard) with at least one NEW
+    endpoint: new-vs-corpus and new-vs-new, exactly verified.
+
+    The incremental shape a streaming corpus needs: the corpus side costs
+    one scan of its persisted signature index (``build_minhash_index``) —
+    no text moves, no kernel runs over old documents. Only the new batch
+    is minhashed. Candidates come from the usual banded join (8-byte
+    xxhash64 band keys, the 10^12-doc shuffle key) restricted to pairs
+    with a new endpoint; every candidate then passes the shared
+    ``exact_jaccard_verify`` over corpus ∪ new text, so precision is
+    exact — identical contract to ``ngram_jaccard_lsh``, restricted to
+    pairs the new batch introduces.
+
+    Ids must be unique across corpus and batch (the table's primary key).
+    Accepted workflow: drop/keep decisions from the returned pairs, then
+    ``minhash_index_append`` the admitted rows.
+    """
+    p = _read_idx_marker(index_dir)
+    num_perm = p["num_perm"]
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    rows_per_band = num_perm // bands
+    spark = corpus_df.sparkSession
+    old_sig = spark.read.parquet(index_dir).withColumn(
+        "is_new", F.lit(False))
+    new_sig = _materialize_fp(
+        minhash_signatures(new_df, text_col, id_col, num_perm,
+                           p["shingle_k"], p["seed"]),
+        spark, "mvt_minhash_inc_").withColumn("is_new", F.lit(True))
+    sigs = old_sig.unionByName(new_sig)
+    key = lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1,
+                                       rows_per_band))
+    banded = sigs.select(
+        "id", "is_new",
+        F.posexplode(F.array(*[key(b) for b in range(bands)]))
+         .alias("band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.id") < F.col("b.id"))
+                    & (F.col("a.is_new") | F.col("b.is_new")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    both = (corpus_df.select(F.col(id_col).cast("long").alias(id_col),
+                             text_col)
+            .unionByName(new_df.select(
+                F.col(id_col).cast("long").alias(id_col), text_col)))
+    return exact_jaccard_verify(both, cands, text_col, id_col, k=k,
+                                threshold=threshold, block_rows=block_rows,
+                                gram_dir=gram_dir)
+
+
 def _spread(df: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Repartition up to the session's parallelism when the input scan is
     too narrow (e.g. one parquet file) — otherwise the vectorized

@@ -600,6 +600,44 @@ def test_corpus_clean_composition(spark):
     assert kept == {1, 5}
 
 
+def test_dedup_incremental_matches_batch_recompute(spark, tmp_path):
+    """Incremental dedup against the persisted signature index returns
+    exactly the batch route's verified pairs restricted to a new endpoint
+    (same signatures, same banding, same exact verify) — plus the index
+    protocol: append extends the corpus side; a bands mismatch raises."""
+    import pytest as _pytest
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    corpus = docs.where("doc_id < 300")
+    new = docs.where("doc_id >= 300 and doc_id < 400")
+    idx = str(tmp_path / "mhidx")
+    D.build_minhash_index(corpus, "text", "doc_id", idx)
+    got = {(r.id_a, r.id_b, r.jaccard) for r in
+           D.dedup_incremental(corpus, new, "text", "doc_id", idx).collect()}
+    full = docs.where("doc_id < 400")
+    want = {(r.id_a, r.id_b, r.jaccard) for r in
+            D.ngram_jaccard_lsh(full, "text", "doc_id", k=3,
+                                threshold=0.5).collect()
+            if r.id_a >= 300 or r.id_b >= 300}
+    assert got == want and got  # nonempty on this dense corpus
+
+    # append the admitted batch; a second batch now pairs against it too
+    D.minhash_index_append(new, "text", "doc_id", idx)
+    new2 = docs.where("doc_id >= 400")
+    corpus2 = docs.where("doc_id < 400")
+    got2 = {(r.id_a, r.id_b, r.jaccard) for r in
+            D.dedup_incremental(corpus2, new2, "text", "doc_id",
+                                idx).collect()}
+    want2 = {(r.id_a, r.id_b, r.jaccard) for r in
+             D.ngram_jaccard_lsh(docs, "text", "doc_id", k=3,
+                                 threshold=0.5).collect()
+             if r.id_a >= 400 or r.id_b >= 400}
+    assert got2 == want2
+    with _pytest.raises(ValueError, match="must divide"):
+        D.dedup_incremental(corpus, new, "text", "doc_id", idx, bands=13)
+
+
 def test_corpus_clean_candidate_routes(spark):
     """candidate_route picks the recall envelope (docs/RECALL.md): on the
     synthetic corpus the winnow route verifies true near-dup pairs the
