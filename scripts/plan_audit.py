@@ -47,6 +47,12 @@ AUDITS = [
      "(no c_* blob columns in any ReadSchema), partial agg before the "
      "exchange",
      ["FileScan", "ReadSchema", "HashAggregate", "Exchange"]),
+    ("dedup_incremental",
+     "incremental dedup: the corpus side is a parquet scan of the "
+     "persisted signature index (FileScan over mvt_mh_idx — id+sig only, "
+     "no text column, no kernel); only the new batch runs the minhash "
+     "MapInArrow before the banded join and the shared verify kernel",
+     ["MapInArrow", "FileScan", "Exchange"]),
 ]
 
 HEADER = """# Physical-plan audit (sf0.01, local[8])
