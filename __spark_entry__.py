@@ -61,9 +61,17 @@ _MINHASH_IDX_CACHE: dict[str, str] = {}
 
 def _minhash_idx_dir(sf_dir: str) -> str:
     """Write-once minhash signature index dir for the incremental-dedup
-    query (same per-sf_dir cache discipline as the IVF index)."""
+    query (same per-sf_dir cache discipline as the IVF index). Registered
+    with dedup's temp reaper; the query rebuilds on a missing marker, so
+    an early cleanup self-heals."""
     if sf_dir not in _MINHASH_IDX_CACHE:
-        _MINHASH_IDX_CACHE[sf_dir] = tempfile.mkdtemp(prefix="mvt_mh_idx_")
+        d = tempfile.mkdtemp(prefix="mvt_mh_idx_")
+        if not D._FP_TMP_DIRS:
+            import atexit
+
+            atexit.register(D.cleanup_temp_dirs)
+        D._FP_TMP_DIRS.append(d)
+        _MINHASH_IDX_CACHE[sf_dir] = d
     return _MINHASH_IDX_CACHE[sf_dir]
 
 
