@@ -236,7 +236,8 @@ def main():
         "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_srp",
         "dedup_ngram_lsh_verified", "dedup_winnow_candidates",
-        "dedup_ngram_winnow_verified", "ann_bruteforce_topk",
+        "dedup_ngram_winnow_verified", "dedup_incremental",
+        "ann_bruteforce_topk",
         "ann_ivf_topk", "ann_ivf_recall", "roundtrip_lineitem",
         "roundtrip_events", "roundtrip_struct_props", "roundtrip_decimal",
         "text_bpe_tokens", "media_features", "transform_simplify_quantize",
