@@ -236,19 +236,30 @@ def promote_compacted(out_dir: str, compacted_dir: str,
 def content_fingerprint(df: DataFrame) -> tuple[int, int]:
     """(row_count, order-independent multiset fingerprint) of a DataFrame.
 
-    SUM over rows of xxhash64(all columns) — commutative, so it is
-    invariant under the repartitioning a compaction performs, yet
-    multiset-sensitive (a duplicated or dropped row shifts the sum).
-    decimal(38,0) accumulation: no overflow below ~10^19 rows. ONE partial
-    aggregate per partition + a single-row final combine — the cheapest
-    whole-content equality check that does not ship any data anywhere.
+    SUM over rows of a per-row hash — commutative, so it is invariant
+    under the repartitioning a compaction performs, yet multiset-sensitive
+    (a duplicated or dropped row shifts the sum). decimal(38,0)
+    accumulation: no overflow below ~10^19 rows. ONE partial aggregate per
+    partition + a single-row final combine — the cheapest whole-content
+    equality check that does not ship any data anywhere.
+
+    The row hash is a sum of POSITION-BOUND column hashes
+    (xxhash64(ordinal, value)), not one xxhash64 over all columns:
+    Spark's hash functions skip NULL arguments, so the single-call form
+    would hash (NULL, 'a') and ('a', NULL) identically — a null shifted
+    across columns would go undetected, and this fingerprint gates
+    deletion. Binding each column to its ordinal keeps a NULL's position
+    in the row observable (hash(i) is a column-specific constant).
     """
     from pyspark.sql import functions as F
 
+    row_hash = sum(
+        (F.xxhash64(F.lit(i), F.col(c)).cast("decimal(38,0)")
+         for i, c in enumerate(df.columns)),
+        start=F.lit(0).cast("decimal(38,0)"))
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
-              .cast("decimal(38,0)")).alias("fp")).first()
+        F.sum(row_hash).alias("fp")).first()
     return int(row["n"]), int(row["fp"] or 0)
 
 

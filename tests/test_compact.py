@@ -340,6 +340,11 @@ def test_verify_and_reap_deletes_only_on_match(spark, tmp_path):
     assert content_fingerprint(a) == content_fingerprint(
         a.repartition(7))
     assert content_fingerprint(a) != content_fingerprint(a.limit(199))
+    # a NULL shifted across columns must be observable (Spark's hash
+    # functions skip NULL args; the position-bound form does not)
+    na = spark.createDataFrame([(None, "a")], "x string, y string")
+    nb = spark.createDataFrame([("a", None)], "x string, y string")
+    assert content_fingerprint(na) != content_fingerprint(nb)
 
 
 def test_promote_refuses_missing_snapshot_segment(spark, segmented, tmp_path):
